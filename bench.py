@@ -1,0 +1,97 @@
+"""Benchmark: flagship composite training throughput (rays/sec/chip).
+
+Measures the steady-state throughput of the full jitted composite train
+step at the paper-default shapes (``train/composite.txt``): 1024 rays x 500
+depth samples x 2 fields (static 4x128 CPPN + temporal 4x128 with time
+latents, free_windowed L=12), full regularizer battery, Adam update —
+everything on device.
+
+Baseline: the PyTorch reference publishes no numbers (BASELINE.md). The
+``vs_baseline`` ratio is computed against a documented reference estimate of
+10,240 rays/s — the 1024-ray iteration at ~10 it/s that the reference's
+serial 32768-point chunking (16 chunks x 2 fields per iteration,
+``model_helpers.py:14-26``) sustains on an A100-class GPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Estimated PyTorch reference throughput (rays/sec) on an A100-class GPU;
+# see module docstring. The >=10x target of BASELINE.md corresponds to
+# vs_baseline >= 10.
+PYTORCH_REFERENCE_RAYS_PER_SEC = 10240.0
+
+STEPS_PER_CHUNK = 50
+WARMUP_CHUNKS = 2
+TIMED_CHUNKS = 5
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_setup
+    from nerfca_tpu.ops.sampling import linspace_depths
+    from nerfca_tpu.train.step import (
+        TrainState,
+        make_composite_train_step,
+        make_optimizer,
+        make_train_chunk,
+    )
+
+    params, cfgs, hp = _flagship_setup()
+    tx = make_optimizer(1e-3, 0.01, 150000)
+    state = TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(0),
+    )
+
+    z = linspace_depths(3.6, 5.4, hp.depth_samples_coarse)
+    train_step = make_composite_train_step(cfgs, hp, tx, z, 2.16)
+    chunk = jax.jit(make_train_chunk(train_step, STEPS_PER_CHUNK), donate_argnums=(0,))
+
+    n_rays = 200 * 200 * 40  # 40 images of 200^2 rays resident in HBM
+    key = jax.random.PRNGKey(1)
+    rays = jax.random.uniform(key, (n_rays, 4, 3), jnp.float32)
+    rays = rays.at[:, 3, :].set(1.0)
+    phases = jax.random.randint(key, (n_rays,), 0, 10)
+    var_ids = jnp.arange(n_rays // 2, dtype=jnp.int32)
+    non_var_ids = jnp.arange(n_rays // 2, n_rays, dtype=jnp.int32)
+
+    for _ in range(WARMUP_CHUNKS):
+        state, metrics = chunk(state, rays, phases, var_ids, non_var_ids)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CHUNKS):
+        state, metrics = chunk(state, rays, phases, var_ids, non_var_ids)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - t0
+
+    steps = TIMED_CHUNKS * STEPS_PER_CHUNK
+    rays_per_sec = steps * hp.img_sample_size / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "composite_train_rays_per_sec_per_chip",
+                "value": round(float(rays_per_sec), 1),
+                "unit": "rays/s",
+                "vs_baseline": round(
+                    float(rays_per_sec / PYTORCH_REFERENCE_RAYS_PER_SEC), 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

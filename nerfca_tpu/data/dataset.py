@@ -1,0 +1,310 @@
+"""Dataset builder — the ``datatoray`` equivalent.
+
+Given 4-D phantom volumes (one per cardiac phase), project every train/test
+viewpoint with the JAX cone-beam projector and write the reference's artifact
+contract to ``data/<name>/<size>/``:
+
+  - ``general.json``: scaled geometry + near/far + log max_pixel_value
+    (``preprocess/tigre_helpers.py:65-80``)
+  - per-view ``image-hrt=<p>-resp=<r>-angles=<t>-<f>.npy`` (min-max
+    normalized log-transmission) and ``.png``
+    (``preprocess/tigre_helpers.py:106-138``)
+  - ``train-*.json`` / ``test-*.json`` / ``evaluate.json`` frame lists with
+    image ids, min/max, variance-map paths, phases, angles
+    (``preprocess/tigre_helpers.py:208-223``, ``preprocess/datatoray.py:149-157``)
+  - per-viewpoint temporal variance maps ``image-<t>-<f>-var.npy``/``.png``
+    (weights in [1, 2]) once all 10 phases are processed
+    (``preprocess/general_helpers.py:17-44``, ``datatoray.py:160-161``)
+  - ``srcmatrices.json`` with the per-view 4x4 poses (``datatoray.py:163-164``)
+  - optional MIP ground-truth renders for test views (``datatoray.py:127-141``)
+
+Volumes come from (in order of preference): a user-supplied
+``volume_provider`` callable, ``<volume_root>/<phase>/full_volume_tigre.npy``
+on disk (the XCAT/CCTA pipeline output contract), or the built-in synthetic
+phantom for the ``SYNTH`` data family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from nerfca_tpu.geometry.cone import (
+    MAX_PIXEL_VALUE,
+    SCALE_FACTOR,
+    ConeGeometry,
+    ccta_geometry,
+    get_near_far,
+    synth_geometry,
+    xcat_geometry,
+)
+from nerfca_tpu.geometry.rays import pose_matrix
+from nerfca_tpu.data.phantom import synthetic_phantom_volume
+from nerfca_tpu.data.views import select_views
+from nerfca_tpu.ops.projector import project_view, transmission_image
+
+
+@dataclasses.dataclass
+class DatasetPaths:
+    folder: str
+    general: str
+    train: str
+    test: str
+    evaluate: str
+    srcmatrices: str
+
+
+def _experiment_tag(args) -> str:
+    if getattr(args, "use_experiment_name", False) and getattr(
+        args, "experiment_name", None
+    ):
+        return args.experiment_name
+    return (
+        f"{float(args.data_limited_range)}-{float(args.data_step_size)}"
+        f"-{args.data_time_range_start}-{args.data_time_range_end}"
+    )
+
+
+def dataset_paths(args, root: str = "data") -> DatasetPaths:
+    folder = os.path.join(root, str(args.data_name), str(args.data_size))
+    tag = _experiment_tag(args)
+    return DatasetPaths(
+        folder=folder,
+        general=os.path.join(folder, "general.json"),
+        train=os.path.join(folder, f"train-{tag}.json"),
+        test=os.path.join(folder, f"test-{tag}.json"),
+        evaluate=os.path.join(folder, "evaluate.json"),
+        srcmatrices=os.path.join(folder, "srcmatrices.json"),
+    )
+
+
+def _geometry_for(args, vol_dimensions) -> dict:
+    name = str(args.data_name)
+    if name.startswith("SYNTH"):
+        return synth_geometry(int(args.data_size), list(vol_dimensions))
+    if name.startswith("XCAT"):
+        return xcat_geometry(int(args.data_size), list(vol_dimensions))
+    if name.startswith("MAGIX") or name.startswith("CCTA"):
+        return ccta_geometry(int(args.data_size), list(vol_dimensions))
+    raise ValueError(f"unknown data_name family: {name!r}")
+
+
+def _default_volume_provider(args) -> Callable[[int], np.ndarray]:
+    """Resolve volumes per integer phase: disk artifacts, else synthetic."""
+    root = getattr(args, "volume_root", None)
+
+    def provider(int_phase: int) -> np.ndarray:
+        if root:
+            path = os.path.join(root, str(int_phase), "full_volume_tigre.npy")
+            if os.path.isfile(path):
+                return np.load(path)
+        if str(args.data_name).startswith("SYNTH"):
+            size = int(getattr(args, "synth_vol_size", 64))
+            return synthetic_phantom_volume(size=size, phase=int_phase / 10)
+        raise FileNotFoundError(
+            f"no volume for phase {int_phase}: set volume_root to a directory "
+            f"with <phase>/full_volume_tigre.npy or use the SYNTH data family"
+        )
+
+    return provider
+
+
+def _save_png(path: str, img: np.ndarray, cmap: str = "gray") -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.imsave(path, img, cmap=cmap)
+    except Exception:
+        pass  # PNGs are a debugging convenience, never load-bearing
+
+
+def _store_frame(
+    image_id: int,
+    image_id_str: str,
+    img_min: float,
+    img_max: float,
+    view_key: str,
+    resp_phase: float,
+    int_hrt_phase: int,
+    hrt_phase: float,
+    theta: float,
+    phi: float,
+    larm: float,
+    folder: str,
+) -> dict:
+    """Frame metadata record (``preprocess/tigre_helpers.py:208-223``)."""
+    return {
+        "image_id_str": image_id_str,
+        "image_id": image_id,
+        "file_path": os.path.join(folder, f"{image_id_str}.npy"),
+        "img_min_max": [float(img_min), float(img_max)],
+        "weighted_file_path": os.path.join(folder, f"image-{view_key}-var.npy"),
+        "resp_phase": resp_phase,
+        "heart_phase": int_hrt_phase,
+        "org_heart_phase": int(hrt_phase),
+        "theta": float(theta),
+        "phi": float(phi),
+        "larm": float(larm),
+    }
+
+
+def build_dataset(
+    args,
+    root: str = "data",
+    volume_provider: Optional[Callable[[int], np.ndarray]] = None,
+    projector_samples: int = 1000,
+    write_mip: bool = False,
+) -> DatasetPaths:
+    """Generate the full on-disk dataset. Returns the artifact paths.
+
+    ``args`` carries the config surface fields (``data_name``, ``data_size``,
+    ``data_limited_range``, ``data_step_size``, ``data_numb_angles``,
+    ``data_time_range_start/end``, optional test-grid overrides).
+    """
+    paths = dataset_paths(args, root)
+    os.makedirs(paths.folder, exist_ok=True)
+
+    provider = volume_provider or _default_volume_provider(args)
+
+    # probe one volume for dimensions
+    first_phase = int(args.data_time_range_start)
+    vol0 = np.asarray(provider(first_phase), dtype=np.float32)
+    geo_data = _geometry_for(args, vol0.shape)
+    geo = ConeGeometry.from_dict(geo_data, SCALE_FACTOR)
+    near, far = get_near_far(geo)
+
+    # general.json: scaled geometry + thresholds (tigre_helpers.py:65-80)
+    info = geo.to_info_dict()
+    info["near_thresh"] = near
+    info["far_thresh"] = far
+    info["max_pixel_value"] = float(np.log(MAX_PIXEL_VALUE))
+    with open(paths.general, "w") as fp:
+        json.dump(info, fp)
+
+    phase_list = select_views(
+        limited_range=float(args.data_limited_range),
+        step_size=float(args.data_step_size),
+        numb_angles=getattr(args, "data_numb_angles", None),
+        time_range_start=int(args.data_time_range_start),
+        time_range_end=int(args.data_time_range_end),
+        limited_range_test=getattr(args, "data_limited_range_test", None),
+        step_size_test=getattr(args, "data_step_size_test", None),
+    )
+
+    train_frames: list[dict] = []
+    test_frames: list[dict] = []
+    src_matrices: dict[str, list] = {}
+    # per-viewpoint stacks of absorption images across phases (variance maps)
+    per_view_integrals: dict[str, list[np.ndarray]] = {}
+
+    image_id = 0
+    for phase_obj in phase_list:
+        hrt_phase = phase_obj["hrt_phase"]
+        int_hrt = int(round(hrt_phase * 10))
+        resp = phase_obj["resp_phase"]
+        volume = (
+            vol0
+            if int_hrt == first_phase
+            else np.asarray(provider(int_hrt), dtype=np.float32)
+        )
+
+        def process_view(theta, phi, frames):
+            nonlocal image_id
+            view_key = f"{theta}-{phi}"
+            image_id_str = (
+                f"image-hrt={int_hrt}-resp={int(resp)}-angles={view_key}"
+            )
+            line_integral = np.asarray(
+                project_view(
+                    volume, info, float(theta), float(phi), 0.0,
+                    n_samples=projector_samples,
+                )
+            )
+            norm_img, img_min, img_max = transmission_image(
+                line_integral, MAX_PIXEL_VALUE
+            )
+            # saved transposed so the loader's reshape(W,H).T round-trips to
+            # the ray layout (see data_helpers.py:131 and loader.py)
+            np.save(os.path.join(paths.folder, f"{image_id_str}.npy"), norm_img.T)
+            _save_png(
+                os.path.join(paths.folder, f"{image_id_str}.png"), norm_img
+            )
+            per_view_integrals.setdefault(view_key, []).append(line_integral)
+            src_matrices[view_key] = pose_matrix(
+                float(theta), float(phi), 0.0, geo.DSO
+            ).tolist()
+            frames.append(
+                _store_frame(
+                    image_id, image_id_str, img_min, img_max, view_key,
+                    resp, int_hrt, hrt_phase * 10, theta, phi, 0.0, paths.folder,
+                )
+            )
+            image_id += 1
+            return image_id_str
+
+        for theta, phi in np.asarray(phase_obj["train_viewpoints"]):
+            process_view(theta, phi, train_frames)
+
+        for theta, phi in np.asarray(phase_obj["test_viewpoints"]):
+            image_id_str = process_view(theta, phi, test_frames)
+            if write_mip:
+                mip = np.asarray(
+                    project_view(
+                        volume, info, float(theta), float(phi), 0.0,
+                        n_samples=projector_samples, mode="mip",
+                    )
+                )
+                np.save(
+                    os.path.join(paths.folder, f"{image_id_str}-mip.npy"), mip
+                )
+                _save_png(
+                    os.path.join(paths.folder, f"{image_id_str}-mip.png"), mip
+                )
+
+    with open(paths.train, "w") as fp:
+        json.dump({"frames": train_frames}, fp)
+    with open(paths.test, "w") as fp:
+        json.dump({"frames": test_frames}, fp)
+    if not os.path.exists(paths.evaluate):
+        with open(paths.evaluate, "w") as fp:
+            json.dump({"frames": test_frames}, fp)
+    with open(paths.srcmatrices, "w") as fp:
+        json.dump(src_matrices, fp)
+
+    # variance weight maps only when the full cardiac cycle was processed
+    # (datatoray.py:160-161)
+    if int(args.data_time_range_end) - int(args.data_time_range_start) == 10:
+        write_variance_maps(per_view_integrals, paths.folder)
+
+    return paths
+
+
+def write_variance_maps(
+    per_view_integrals: dict[str, list[np.ndarray]], folder: str
+) -> None:
+    """Per-viewpoint temporal variance of the absorption images, min-max
+    normalized and shifted to weights in [1, 2]
+    (``preprocess/general_helpers.py:17-44``)."""
+    for view_key, integrals in per_view_integrals.items():
+        stack = np.stack(integrals, axis=0)
+        var_pix = np.ones(stack.shape[1:], dtype=np.float64)
+        if stack.shape[0] > 1:
+            absorption = np.exp(-stack.reshape(stack.shape[0], -1))
+            var = np.var(absorption, axis=0).reshape(stack.shape[1:])
+            vmin, vmax = var.min(), var.max()
+            var_pix = (var - vmin) / (vmax - vmin + 1e-10)
+        _save_png(
+            os.path.join(folder, f"image-{view_key}-var.png"), var_pix, cmap="Reds"
+        )
+        # stored transposed like the images, so the loader transpose aligns
+        # weights with rays
+        np.save(
+            os.path.join(folder, f"image-{view_key}-var.npy"), (var_pix + 1).T
+        )

@@ -10,9 +10,12 @@ defined stand-in with the same structure the method needs:
   - a DYNAMIC coronary: a thin, bright, curved vessel tree whose position
     deforms with the cardiac phase (what the temporal field should capture).
 
-Attenuation scales mimic the XCAT pipeline's LCA handling, which pins the
-artery value to ``lca_val=0.15`` over softer background tissue
-(``preprocess/xcat.py:119-158``).
+Like the XCAT pipeline — which pins the artery attenuation to a fixed
+``lca_val`` above softer background tissue (``preprocess/xcat.py:119-158``)
+— the vessel is the brightest structure. Values here are attenuation per
+WORLD UNIT (1 unit = 100 mm under the 1e-2 scale factor), chosen so
+cone-beam line integrals land in the O(0.1-0.5) range that gives the
+log-transmission images useful dynamic range.
 """
 
 from __future__ import annotations
@@ -38,9 +41,9 @@ def _vessel_centerline(ts: np.ndarray, phase: float) -> np.ndarray:
 def synthetic_phantom_volume(
     size: int = 64,
     phase: float = 0.0,
-    lca_val: float = 0.15,
-    background_val: float = 0.02,
-    bone_val: float = 0.08,
+    lca_val: float = 1.2,
+    background_val: float = 0.18,
+    bone_val: float = 0.55,
     vessel_radius: float = 0.045,
     seed: int = 0,
 ) -> np.ndarray:

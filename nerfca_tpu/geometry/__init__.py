@@ -20,6 +20,7 @@ from nerfca_tpu.geometry.cone import (
     get_near_far,
     xcat_geometry,
     ccta_geometry,
+    synth_geometry,
     MAX_PIXEL_VALUE,
     SCALE_FACTOR,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "get_near_far",
     "xcat_geometry",
     "ccta_geometry",
+    "synth_geometry",
     "MAX_PIXEL_VALUE",
     "SCALE_FACTOR",
     "detector_rays",

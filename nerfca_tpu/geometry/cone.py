@@ -134,6 +134,36 @@ def xcat_geometry(data_size: int, vol_dimensions: Sequence[int]) -> dict:
     }
 
 
+def synth_geometry(data_size: int, vol_dimensions: Sequence[int]) -> dict:
+    """Geometry for the built-in synthetic phantom (no reference analog).
+
+    XCAT's source/detector distances, but the voxel pitch scales with the
+    grid so the phantom always spans ~128 mm (the XCAT volume's in-plane
+    extent, 512 x 0.25 mm) regardless of resolution, and sits centered at
+    the isocenter.
+    """
+    if data_size == 200:
+        n_det, d_det = [200, 200], [1, 1]
+    elif data_size == 50:
+        n_det, d_det = [50, 50], [4, 4]
+    else:
+        raise ValueError(f"unknown SYNTH data_size {data_size}; expected 200 or 50")
+    pitch = 128.0 / max(vol_dimensions)
+    return {
+        "DSD": 2500,
+        "DSO": 450,
+        "nDetector": n_det,
+        "dDetector": d_det,
+        "nVoxel": list(vol_dimensions),
+        "dVoxel": [pitch, pitch, pitch],
+        "offOrigin": [0, 0, 0],
+        "offDetector": [0, 0],
+        "accuracy": 0.5,
+        "mode": "cone",
+        "filter": None,
+    }
+
+
 def ccta_geometry(data_size: int, vol_dimensions: Sequence[int]) -> dict:
     """MAGIX/CCTA acquisition preset (``preprocess/tigre_helpers.py:175-206``)."""
     if data_size == 200:

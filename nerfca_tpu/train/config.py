@@ -1,0 +1,215 @@
+"""Config/flag surface — the full ~60-flag interface of the reference.
+
+Reference parity: ``train/data_helpers.py:10-127`` (``config_parser``). The
+flag NAMES and the ``.txt`` config-file format are preserved verbatim so
+existing reference configs (``train/composite.txt``, ``train/3d.txt``) drive
+this framework unchanged. configargparse is not available in this image, so
+a small compatible layer reads ``key = value`` txt files and feeds them as
+argparse defaults; CLI flags still override file values, and ``--config``
+picks the file — the same precedence configargparse implements.
+
+Booleans accept any case of true/false (the reference's
+``lambda x: str(x).lower() == 'true'`` idiom).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+from typing import Optional, Sequence
+
+
+def _bool(x) -> bool:
+    return str(x).lower() == "true"
+
+
+def _maybe(type_fn):
+    """Typed parser that maps the literal strings 'none'/'null'/'' to None."""
+
+    def parse(x):
+        if isinstance(x, str) and x.strip().lower() in ("none", "null", ""):
+            return None
+        return type_fn(x)
+
+    return parse
+
+
+def read_config_file(path: str) -> dict[str, str]:
+    """Parse a configargparse-style ``key = value`` txt file."""
+    values: dict[str, str] = {}
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            values[key.strip()] = val.strip().strip("'\"")
+    return values
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="nerfca_tpu — TPU-native NeRF-CA training",
+        fromfile_prefix_chars=None,
+    )
+    p.add_argument("--config", type=str, default=None, help="config txt file path")
+    p.add_argument("--wandb_sweep_yaml", type=str, default=None)
+    p.add_argument("--use_wandb", type=_bool, default=False)
+
+    # general run info
+    p.add_argument("--data_name", type=str, default="SYNTH")
+    p.add_argument("--x_ray_type", type=str, default="roadmap")
+    p.add_argument("--take_mask", type=_bool, default=False)
+    p.add_argument("--data_size", type=int, default=50)
+
+    # data args
+    p.add_argument("--use_experiment_name", type=_bool, default=False)
+    p.add_argument("--experiment_name", type=str, default=None)
+    p.add_argument("--data_limited_range", type=float, default=60.0)
+    p.add_argument("--data_step_size", type=float, default=120.0)
+    p.add_argument("--data_numb_angles", type=_maybe(int), default=None)
+    p.add_argument("--data_time_range_start", type=int, default=0)
+    p.add_argument("--data_time_range_end", type=int, default=10)
+    p.add_argument("--data_limited_range_test", type=_maybe(float), default=None)
+    p.add_argument("--data_step_size_test", type=_maybe(float), default=None)
+
+    p.add_argument("--only_prepare_data", type=_bool, default=False)
+    p.add_argument("--debug_mode", type=_bool, default=False)
+    p.add_argument("--visualize_geometry", type=_bool, default=False)
+
+    # run info
+    p.add_argument("--n_iters", type=int, default=200000)
+    p.add_argument("--display_every", type=int, default=500)
+    p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=32768)
+
+    # models
+    p.add_argument("--num_input_channels", type=int, default=3)
+    p.add_argument("--num_output_channels", type=int, default=1)
+    p.add_argument("--temp_num_early_layers", type=int, default=4)
+    p.add_argument("--temp_num_late_layers", type=int, default=0)
+    p.add_argument("--temp_num_filters", type=int, default=32)
+    p.add_argument("--temp_num_filters_fine", type=int, default=32)
+    p.add_argument("--static_num_early_layers", type=int, default=4)
+    p.add_argument("--static_num_late_layers", type=int, default=0)
+    p.add_argument("--static_num_filters", type=int, default=32)
+    p.add_argument("--static_num_filters_fine", type=int, default=32)
+    p.add_argument("--output_activation", type=str, default="Softplus")
+
+    # nerf parameters
+    p.add_argument("--depth_samples_per_ray_coarse", type=int, default=500)
+    p.add_argument("--depth_samples_per_ray_fine", type=int, default=0)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_end_factor", type=float, default=0.1)
+    p.add_argument("--lr_decay_steps", type=int, default=100000)
+
+    p.add_argument("--sample_mode", type=str, default="pixel")
+    p.add_argument("--sample_weights_name", type=str, default=None)
+    p.add_argument("--img_sample_size", type=int, default=64**2)
+    p.add_argument("--var_sample_perc", type=float, default=0.0)
+    p.add_argument("--var_sample_thre", type=float, default=0.0)
+    p.add_argument("--raw_noise_std", type=float, default=0.0)
+
+    # positional encoding (temporal field)
+    p.add_argument("--temp_pos_enc", type=str, default="free_windowed")
+    p.add_argument("--temp_pos_enc_basis", type=int, default=12)
+    p.add_argument("--temp_pos_enc_fourier_sigma", type=float, default=0.0)
+    p.add_argument("--temp_pos_enc_window_start", type=int, default=0)
+    p.add_argument("--temp_pos_enc_window_decay_steps", type=int, default=150000)
+
+    # positional encoding (static field)
+    p.add_argument("--static_pos_enc", type=str, default="free_windowed")
+    p.add_argument("--static_pos_enc_basis", type=int, default=12)
+    p.add_argument("--static_pos_enc_fourier_sigma", type=float, default=0.0)
+    p.add_argument("--static_pos_enc_window_start", type=int, default=0)
+    p.add_argument("--static_pos_enc_window_decay_steps", type=int, default=150000)
+
+    # positional encoding windowing
+    p.add_argument("--window_weight_start", type=int, default=0)
+    p.add_argument("--window_weight_end", type=int, default=10)
+    p.add_argument("--window_decay_steps", type=int, default=100000)
+
+    # time latents
+    p.add_argument("--use_time_latents", type=_bool, default=True)
+    p.add_argument("--num_time_dim", type=int, default=8)
+
+    # D2NeRF-style separation parameters
+    p.add_argument("--skewness_val", type=float, default=1.0)
+    p.add_argument("--favor_s_weight_start", type=float, default=0.0)
+    p.add_argument("--favor_s_weight_end", type=float, default=0.0)
+    p.add_argument("--favor_s_weight_delay_steps", type=int, default=0)
+    p.add_argument("--dynamic_entro_weight_start", type=float, default=0.0)
+    p.add_argument("--dynamic_entro_weight_end", type=float, default=0.0)
+    p.add_argument("--occl_weight_start", type=float, default=0.0)
+    p.add_argument("--occl_weight_end", type=float, default=0.0)
+    p.add_argument("--l1_weight_start", type=float, default=0.0)
+    p.add_argument("--l1_weight_end", type=float, default=0.0)
+    p.add_argument("--hyperparam_decay_steps", type=int, default=100000)
+
+    p.add_argument("--entro_mask_thre", type=float, default=1e-4)
+    p.add_argument("--entro_use_weighting", type=_bool, default=False)
+    p.add_argument("--entro_weighted_thresh", type=float, default=0.0)
+    p.add_argument("--occl_reg_perc", type=float, default=0.1)
+
+    p.add_argument("--weighted_loss_max", type=float, default=1.0)
+    p.add_argument("--weighted_loss", type=str, default="None")
+    p.add_argument("--favor_s_opt", type=str, default=None)
+    p.add_argument("--favor_s_opt_weight", type=float, default=0.0)
+
+    # --- TPU-native extensions (absent in the reference) ---
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   help="matmul dtype for field MLPs: float32 | bfloat16")
+    p.add_argument("--mesh_shape", type=str, default=None,
+                   help="data-parallel mesh, e.g. '4' or '2x4' (None = all devices)")
+    p.add_argument("--use_pallas", type=_bool, default=False,
+                   help="use the fused Pallas field kernel on TPU")
+    p.add_argument("--steps_per_chunk", type=int, default=None,
+                   help="train steps per jitted scan chunk (default: log_every)")
+    p.add_argument("--resume_from", type=str, default=None,
+                   help="checkpoint directory to resume training from")
+    p.add_argument("--volume_root", type=str, default=None,
+                   help="directory with <phase>/full_volume_tigre.npy volumes")
+    p.add_argument("--synth_vol_size", type=int, default=64)
+    p.add_argument("--log_dir_root", type=str, default="cases")
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for the first N steps")
+    return p
+
+
+def parse_args(
+    argv: Optional[Sequence[str]] = None, default_config: Optional[str] = None
+):
+    """Parse CLI args with config-file defaults (configargparse semantics)."""
+    parser = build_parser()
+
+    # first pass: find --config (without triggering required-arg errors)
+    pre, _ = parser.parse_known_args(argv)
+    config_path = pre.config or default_config
+    if config_path and os.path.isfile(config_path):
+        file_values = read_config_file(config_path)
+        known = {a.dest: a for a in parser._actions}
+        defaults = {}
+        for key, val in file_values.items():
+            if key in known and known[key].type is not None:
+                defaults[key] = known[key].type(val)
+            elif key in known:
+                defaults[key] = val
+        parser.set_defaults(**defaults)
+
+    args = parser.parse_args(argv)
+    if config_path:
+        args.config = config_path
+    return args
+
+
+def overwrite_args(run_args, overrides: dict):
+    """Apply sweep/driver overrides onto a parsed namespace
+    (``data_helpers.py:188-194``)."""
+    new_args = copy.deepcopy(run_args)
+    for key, val in overrides.items():
+        setattr(new_args, key, val)
+    return new_args

@@ -1,0 +1,213 @@
+"""Full-image test rendering and evaluation metrics.
+
+Reference parity: the in-loop eval block of ``run_composite.py:346-448`` —
+full-image coarse (and fine) renders, test losses, PSNR over the regularized
+loss, and the decomposed static-only / dynamic-only renders produced by
+pushing each field's raw output through the single-field renderer.
+
+TPU design: the W*H rays are rendered in fixed-size tiles under one jit
+(``lax.map`` over tiles), so an eval costs a single device dispatch instead
+of the reference's host-side chunk loop (``model_helpers.py:41-61``).
+Adds quantitative metrics the reference only had in paper form: pure-MSE
+PSNR and SSIM on normalized images.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfca_tpu.models.fields import FieldConfig
+from nerfca_tpu.ops.losses import composite_losses, weighted_mse
+from nerfca_tpu.ops.render import (
+    render_transmission,
+    render_transmission_composite,
+)
+from nerfca_tpu.train.step import (
+    CompositeHParams,
+    _regularized_loss,
+    evaluate_composite,
+    field_window,
+    loss_weights,
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfgs_tuple", "hp", "tile")
+)
+def _render_composite_tiles(
+    params,
+    origins,
+    directions,
+    phases,
+    depth_values,
+    step,
+    cfgs_tuple,
+    hp: CompositeHParams,
+    tile: int,
+):
+    """Render flattened rays in tiles -> (pix, static_raw, temp_raw)."""
+    cfgs = dict(cfgs_tuple)
+    windows = {
+        "static": field_window(cfgs["static"], step),
+        "temp": field_window(cfgs["temp"], step),
+    }
+
+    def one_tile(args):
+        o, d, ph = args
+        pts = o[:, None, :] + d[:, None, :] * depth_values[:, None]
+        pph = jnp.broadcast_to(ph[:, None], pts.shape[:2]).astype(jnp.int32)
+        s_raw, t_raw = evaluate_composite(params, pts, pph, cfgs, windows, hp)
+        return s_raw[..., -1], t_raw[..., -1]
+
+    n = origins.shape[0]
+    nt = n // tile
+    o_t = origins.reshape(nt, tile, 3)
+    d_t = directions.reshape(nt, tile, 3)
+    p_t = phases.reshape(nt, tile)
+    s_raw, t_raw = jax.lax.map(one_tile, (o_t, d_t, p_t))
+    return s_raw.reshape(n, -1), t_raw.reshape(n, -1)
+
+
+def render_test_view(
+    params,
+    test_origins,
+    test_directions,
+    test_phases,
+    depth_values,
+    step,
+    cfgs: dict,
+    hp: CompositeHParams,
+    initial_intensity: float,
+    tile: int = 4096,
+):
+    """Render one full test view; returns raw per-sample field outputs and
+    the composite + decomposed intensity maps, flattened over pixels."""
+    n = test_origins.shape[0]
+    pad = (-n) % tile
+    if pad:
+        test_origins = jnp.concatenate(
+            [test_origins, jnp.zeros((pad, 3), test_origins.dtype)]
+        )
+        test_directions = jnp.concatenate(
+            [test_directions, jnp.zeros((pad, 3), test_directions.dtype)]
+        )
+        test_phases = jnp.concatenate(
+            [test_phases, jnp.zeros((pad,), test_phases.dtype)]
+        )
+
+    s_raw, t_raw = _render_composite_tiles(
+        params,
+        test_origins,
+        test_directions,
+        test_phases,
+        depth_values,
+        jnp.asarray(step),
+        tuple(sorted(cfgs.items())),
+        hp,
+        min(tile, test_origins.shape[0]),
+    )
+    s_raw, t_raw = s_raw[:n], t_raw[:n]
+    i0 = jnp.full((n,), initial_intensity, jnp.float32)
+
+    pix, s_sig, t_sig, dists = render_transmission_composite(
+        s_raw[..., None], t_raw[..., None], i0, depth_values, hp.output_activation
+    )
+    # decomposed renders via the single-field renderer (run_composite.py:407-413)
+    pix_temp, _, _ = render_transmission(
+        t_raw[..., None], i0, depth_values, hp.output_activation
+    )
+    pix_static, _, _ = render_transmission(
+        s_raw[..., None], i0, depth_values, hp.output_activation
+    )
+    return {
+        "pix": pix,
+        "pix_static": pix_static,
+        "pix_temp": pix_temp,
+        "static_sigma": s_sig,
+        "temp_sigma": t_sig,
+        "dists": dists,
+    }
+
+
+def test_metrics(
+    render: dict,
+    test_img_flat,
+    step,
+    hp: CompositeHParams,
+    img_shape: Optional[tuple] = None,
+):
+    """Test losses + PSNR as the reference logs them
+    (``run_composite.py:364-403``), plus pure-image PSNR/SSIM."""
+    weights_sched = loss_weights(jnp.asarray(step), hp)
+    ones = jnp.ones_like(test_img_flat)
+    pixel_loss = jnp.mean(weighted_mse(render["pix"], test_img_flat, ones))
+    losses = composite_losses(
+        render["static_sigma"],
+        render["temp_sigma"],
+        render["dists"],
+        ones,
+        skewness_val=hp.skewness_val,
+        entro_mask_thre=hp.entro_mask_thre,
+        entro_use_weighting=hp.entro_use_weighting,
+        entro_weighted_thresh=hp.entro_weighted_thresh,
+        occl_reg_perc=hp.occl_reg_perc,
+    )
+    test_loss = _regularized_loss(pixel_loss, losses, weights_sched)
+
+    pred = np.asarray(render["pix"], dtype=np.float64)
+    gt = np.asarray(test_img_flat, dtype=np.float64)
+    out = {
+        "test_loss": float(test_loss),
+        "test_psnr": float(-10.0 * np.log10(float(test_loss))),
+        "test_pixel_loss_coarse": float(pixel_loss),
+        "test_favor_s_loss": float(losses.favor_s_loss),
+        "test_blendw": float(losses.blendw_mean),
+        "test_s_entropy_loss": float(losses.static_entropy_loss),
+        "test_d_entropy_loss": float(losses.dynamic_entropy_loss),
+        # pure image-quality metrics (the paper's headline numbers)
+        "test_image_psnr": image_psnr(pred, gt),
+    }
+    if img_shape is not None:
+        out["test_image_ssim"] = image_ssim(
+            normalize01(pred.reshape(img_shape)), normalize01(gt.reshape(img_shape))
+        )
+    return out
+
+
+def normalize01(img: np.ndarray) -> np.ndarray:
+    lo, hi = float(img.min()), float(img.max())
+    if hi == lo:
+        return np.zeros_like(img)
+    return (img - lo) / (hi - lo)
+
+
+def image_psnr(pred: np.ndarray, gt: np.ndarray) -> float:
+    """PSNR over normalized [0, 1] images (pure MSE, not the regularized
+    quirk metric)."""
+    p, g = normalize01(pred), normalize01(gt)
+    mse = float(np.mean((p - g) ** 2))
+    if mse == 0:
+        return float("inf")
+    return float(-10.0 * np.log10(mse))
+
+
+def image_ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
+    """Gaussian-windowed SSIM on 2-D images (standard constants)."""
+    from scipy.ndimage import gaussian_filter
+
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    sigma = 1.5
+    mu_a = gaussian_filter(a, sigma)
+    mu_b = gaussian_filter(b, sigma)
+    va = gaussian_filter(a * a, sigma) - mu_a**2
+    vb = gaussian_filter(b * b, sigma) - mu_b**2
+    cov = gaussian_filter(a * b, sigma) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+    return float(np.mean(num / den))

@@ -1,0 +1,531 @@
+"""Jitted train steps for the composite (4-D) and static (3-D) methods.
+
+This is the TPU redesign of the reference's host-driven loop
+(``train/run_composite.py:227-312``, ``train/run_nerf.py:186-237``): ray
+sampling, depth jitter, encoding annealing, field evaluation, rendering,
+the full regularizer battery, and the optimizer update ALL trace into one
+``jax.jit`` — zero host round-trips per iteration. Multiple steps run per
+device dispatch via ``lax.scan`` (:func:`make_train_chunk`), with metrics
+returned stacked for host-side logging/early-stop at chunk granularity.
+
+Behavioral parity notes (each mirrors a reference quirk, see the ops
+modules for details):
+  - one shared jittered depth vector per iteration for the whole batch;
+  - variance-ray oversampling draws ``nb_var`` rays (with replacement) from
+    the precomputed high-variance id set and the rest from its complement
+    (``run_composite.py:250-260``), on device via ``jax.random``;
+  - loss = pixel + annealed (favor_s, dynamic entropy, occlusion, L1, L2);
+    static entropy is computed for logging only;
+  - PSNR is defined over the total REGULARIZED loss
+    (``run_composite.py:303``);
+  - the optional hierarchical fine pass re-evaluates separate fine models on
+    the coarse+PDF depth union, and renders with ray 0's sorted depth vector
+    (``model_helpers.py:131-158`` — including the ``[0, :]`` quirk).
+
+Sharding: pass ``batch_sharding`` (a NamedSharding over the ray axis) to
+constrain the sampled batch; GSPMD then shards the field evaluation over
+rays and inserts the gradient all-reduce. See ``nerfca_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerfca_tpu.models.fields import (
+    FieldConfig,
+    apply_static_field,
+    apply_temporal_field,
+)
+from nerfca_tpu.ops.encoding import free_window_alpha, free_window_mask, nerfies_alpha, nerfies_window
+from nerfca_tpu.ops.losses import composite_losses, occlusion_loss, weighted_mse
+from nerfca_tpu.ops.render import (
+    render_transmission,
+    render_transmission_composite,
+)
+from nerfca_tpu.ops.sampling import sample_pdf, stratify_depths
+from nerfca_tpu.ops.schedules import linear_param_decay
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class CompositeHParams:
+    """Static (trace-time) hyperparameters of the composite method, distilled
+    from the config surface (``train/composite.txt``)."""
+
+    img_sample_size: int = 1024
+    nb_var_rays: int = 0  # rays drawn from the high-variance set
+    depth_samples_coarse: int = 500
+    depth_samples_fine: int = 0
+    output_activation: str = "softplus"
+    # loss weight schedules (linear_param_decay)
+    favor_s_weight_start: float = 0.0
+    favor_s_weight_end: float = 0.0
+    favor_s_weight_delay_steps: int = 0
+    dynamic_entro_weight_start: float = 0.0
+    dynamic_entro_weight_end: float = 0.0
+    occl_weight_start: float = 0.0
+    occl_weight_end: float = 0.0
+    l1_weight_start: float = 0.0
+    l1_weight_end: float = 0.0
+    hyperparam_decay_steps: int = 100000
+    # regularizer shape parameters
+    skewness_val: float = 1.0
+    entro_mask_thre: float = 1e-4
+    entro_use_weighting: bool = False
+    entro_weighted_thresh: float = 0.0
+    occl_reg_perc: float = 0.1
+    compute_dtype: str = "float32"
+    use_pallas: bool = False
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def field_window(cfg: FieldConfig, step):
+    """Per-band annealing window for a field at ``step`` (None if N/A)."""
+    if cfg.pos_enc == "free_windowed":
+        return free_window_mask(
+            cfg.pos_enc_basis,
+            step,
+            cfg.pos_enc_window_decay_steps,
+            cfg.pos_enc_window_start,
+        )
+    if cfg.pos_enc == "nerfies_windowed":
+        alpha = nerfies_alpha(cfg.pos_enc_basis, step, cfg.pos_enc_window_decay_steps)
+        return nerfies_window(cfg.pos_enc_basis, alpha)
+    return None
+
+
+def window_alpha(cfg: FieldConfig, step):
+    """The scalar logged as ``train_*_windowed`` (``run_composite.py:338-341``)."""
+    if cfg.pos_enc == "free_windowed":
+        return free_window_alpha(
+            cfg.pos_enc_basis,
+            step,
+            cfg.pos_enc_window_decay_steps,
+            cfg.pos_enc_window_start,
+        )
+    if cfg.pos_enc == "nerfies_windowed":
+        return nerfies_alpha(cfg.pos_enc_basis, step, cfg.pos_enc_window_decay_steps)
+    return jnp.zeros(())
+
+
+def sample_ray_batch(key, rays, phases, var_ids, non_var_ids, hp: CompositeHParams):
+    """On-device batch sampling with variance-ray oversampling
+    (``run_composite.py:250-263``). Sampling is with replacement, matching
+    ``np.random.choice``'s default."""
+    n = hp.img_sample_size
+    if hp.nb_var_rays > 0 and var_ids is not None:
+        k1, k2 = jax.random.split(key)
+        nv = hp.nb_var_rays
+        iv = jax.random.randint(k1, (nv,), 0, var_ids.shape[0])
+        inv = jax.random.randint(k2, (n - nv,), 0, non_var_ids.shape[0])
+        idx = jnp.concatenate([var_ids[iv], non_var_ids[inv]])
+    else:
+        idx = jax.random.randint(key, (n,), 0, rays.shape[0])
+    batch = rays[idx]  # [n, 4, 3]
+    return {
+        "origins": batch[:, 0, :],
+        "directions": batch[:, 1, :],
+        "pixels": batch[:, 2, 0],
+        "weights": batch[:, 3, 0],
+        "phases": phases[idx],
+    }
+
+
+def evaluate_composite(
+    params,
+    points,
+    point_phases,
+    cfgs: dict,
+    windows,
+    hp: CompositeHParams,
+    suffix: str = "",
+):
+    """Evaluate both fields on ``points [R, S, 3]`` with per-point phases.
+
+    ``cfgs``: FieldConfig per param group ('static', 'temp', and '_fine'
+    variants when the hierarchy is on — fine models have their own widths,
+    ``run_composite.py:196-209``)."""
+    static_cfg = cfgs["static" + suffix]
+    temp_cfg = cfgs["temp" + suffix]
+    if hp.use_pallas:
+        from nerfca_tpu.ops.pallas.fused_field import (
+            fused_composite_fields,
+        )
+
+        return fused_composite_fields(
+            params["static" + suffix],
+            params["temp" + suffix],
+            points,
+            point_phases,
+            static_cfg,
+            temp_cfg,
+            windows["static"],
+            windows["temp"],
+        )
+    static_raw = apply_static_field(
+        params["static" + suffix], points, static_cfg,
+        window=windows["static"], compute_dtype=hp.dtype,
+    )
+    temp_raw = apply_temporal_field(
+        params["temp" + suffix], points, point_phases, temp_cfg,
+        window=windows["temp"], compute_dtype=hp.dtype,
+    )
+    return static_raw, temp_raw
+
+
+def composite_forward(
+    params,
+    batch,
+    depth_values,
+    windows,
+    cfgs: dict,
+    hp: CompositeHParams,
+    rng: Optional[jax.Array] = None,
+):
+    """Coarse (+optional fine) forward pass -> renders and sigmas.
+
+    ``depth_values``: the already-jittered shared ``[S]`` vector.
+    Mirrors ``model_helpers.py:115-160``.
+    """
+    origins, dirs = batch["origins"], batch["directions"]
+    i0 = batch["initial_intensities"]
+    pts = origins[:, None, :] + dirs[:, None, :] * depth_values[:, None]
+    point_phases = jnp.broadcast_to(
+        batch["phases"][:, None], pts.shape[:2]
+    ).astype(jnp.int32)
+
+    static_raw, temp_raw = evaluate_composite(
+        params, pts, point_phases, cfgs, windows, hp
+    )
+    pix_c, s_sig_c, t_sig_c, dists_c = render_transmission_composite(
+        static_raw, temp_raw, i0, depth_values, hp.output_activation
+    )
+    out = {
+        "pix_coarse": pix_c,
+        "static_sigma_coarse": s_sig_c,
+        "temp_sigma_coarse": t_sig_c,
+        "dists_coarse": dists_c,
+        "static_raw_coarse": static_raw,
+        "temp_raw_coarse": temp_raw,
+    }
+
+    if hp.depth_samples_fine > 0:
+        # fine-sample weights from adjacent total-density differences
+        # (model_helpers.py:135-139)
+        total = s_sig_c + t_sig_c
+        eps = jnp.full_like(total[:, :1], 1e-10)
+        w = jnp.concatenate([eps, jnp.abs(total[:, 1:] - total[:, :-1])], axis=-1)
+        w = w / jnp.max(w)
+        z = jnp.broadcast_to(depth_values, (origins.shape[0], depth_values.shape[0]))
+        z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+        z_pdf = sample_pdf(rng, z_mid, w[:, 1:-1], hp.depth_samples_fine)
+        z_fine = jnp.sort(jnp.concatenate([z_pdf, z], axis=-1), axis=-1)
+        pts_f = origins[:, None, :] + dirs[:, None, :] * z_fine[..., None]
+        s_total = hp.depth_samples_coarse + hp.depth_samples_fine
+        phases_f = jnp.broadcast_to(
+            batch["phases"][:, None], (origins.shape[0], s_total)
+        ).astype(jnp.int32)
+        static_raw_f, temp_raw_f = evaluate_composite(
+            params, pts_f, phases_f, cfgs, windows, hp, suffix="_fine",
+        )
+        # reference renders the fine pass with ray 0's sorted depths
+        # (model_helpers.py:147 depth_vals_fine[0, :])
+        pix_f, s_sig_f, t_sig_f, dists_f = render_transmission_composite(
+            static_raw_f, temp_raw_f, i0, z_fine[0], hp.output_activation
+        )
+        out.update(
+            pix_fine=pix_f,
+            static_sigma_fine=s_sig_f,
+            temp_sigma_fine=t_sig_f,
+            dists_fine=dists_f,
+        )
+    return out
+
+
+def _regularized_loss(pix_loss, losses, weights):
+    return (
+        pix_loss
+        + weights["favor_s"] * losses.favor_s_loss
+        + weights["dynamic_entro"] * losses.dynamic_entropy_loss
+        + weights["occl"] * losses.dynamic_occl_loss
+        + weights["l1"] * losses.static_l2_loss
+        + weights["l1"] * losses.static_l1_loss
+    )
+
+
+def loss_weights(step, hp: CompositeHParams):
+    """Annealed loss weights (``run_composite.py:276-279``). The occlusion
+    weight shares the favor_s delay, as in the reference."""
+    return {
+        "favor_s": linear_param_decay(
+            step, hp.favor_s_weight_start, hp.favor_s_weight_end,
+            hp.hyperparam_decay_steps, hp.favor_s_weight_delay_steps,
+        ),
+        "dynamic_entro": linear_param_decay(
+            step, hp.dynamic_entro_weight_start, hp.dynamic_entro_weight_end,
+            hp.hyperparam_decay_steps,
+        ),
+        "occl": linear_param_decay(
+            step, hp.occl_weight_start, hp.occl_weight_end,
+            hp.hyperparam_decay_steps, hp.favor_s_weight_delay_steps,
+        ),
+        "l1": linear_param_decay(
+            step, hp.l1_weight_start, hp.l1_weight_end, hp.hyperparam_decay_steps
+        ),
+    }
+
+
+def composite_loss_fn(
+    params,
+    batch,
+    depth_values,
+    step,
+    cfgs: dict,
+    hp: CompositeHParams,
+    rng: Optional[jax.Array] = None,
+):
+    """Total regularized loss + metric dict for one batch."""
+    windows = {
+        "static": field_window(cfgs["static"], step),
+        "temp": field_window(cfgs["temp"], step),
+    }
+    fwd = composite_forward(params, batch, depth_values, windows, cfgs, hp, rng)
+    weights = loss_weights(step, hp)
+
+    pixel_loss_c = jnp.mean(
+        weighted_mse(fwd["pix_coarse"], batch["pixels"], batch["weights"])
+    )
+    losses = composite_losses(
+        fwd["static_sigma_coarse"],
+        fwd["temp_sigma_coarse"],
+        fwd["dists_coarse"],
+        batch["weights"],
+        skewness_val=hp.skewness_val,
+        entro_mask_thre=hp.entro_mask_thre,
+        entro_use_weighting=hp.entro_use_weighting,
+        entro_weighted_thresh=hp.entro_weighted_thresh,
+        occl_reg_perc=hp.occl_reg_perc,
+    )
+    loss = _regularized_loss(pixel_loss_c, losses, weights)
+
+    metrics = {
+        "train_pixel_loss_coarse": pixel_loss_c,
+        "train_blendw": losses.blendw_mean,
+        "train_sigma_s_max": losses.sigma_s_max,
+        "train_sigma_d_max": losses.sigma_d_max,
+        "train_favor_s_loss": losses.favor_s_loss,
+        "train_s_entropy_loss": losses.static_entropy_loss,
+        "train_d_entropy_loss": losses.dynamic_entropy_loss,
+        "train_s_entropy_sum": losses.static_entropy_sum,
+        "train_d_entropy_sum": losses.dynamic_entropy_sum,
+        "train_d_occl_loss": losses.dynamic_occl_loss,
+        "train_s_l1": losses.static_l1_loss,
+        "train_s_l2": losses.static_l2_loss,
+        "favor_s_weight": weights["favor_s"],
+        "dynamic_entro_weight": weights["dynamic_entro"],
+        "occl_weight": weights["occl"],
+        "l1_weight": weights["l1"],
+        "train_static_windowed": window_alpha(cfgs["static"], step),
+        "train_temp_windowed": window_alpha(cfgs["temp"], step),
+    }
+
+    if hp.depth_samples_fine > 0:
+        # fine pass uses UNIT pixel weights (run_composite.py:296-301)
+        pixel_loss_f = jnp.mean(
+            weighted_mse(
+                fwd["pix_fine"], batch["pixels"], jnp.ones_like(batch["weights"])
+            )
+        )
+        losses_f = composite_losses(
+            fwd["static_sigma_fine"],
+            fwd["temp_sigma_fine"],
+            fwd["dists_fine"],
+            batch["weights"],
+            skewness_val=hp.skewness_val,
+            entro_mask_thre=hp.entro_mask_thre,
+            entro_use_weighting=hp.entro_use_weighting,
+            entro_weighted_thresh=hp.entro_weighted_thresh,
+            occl_reg_perc=hp.occl_reg_perc,
+        )
+        loss = loss + _regularized_loss(pixel_loss_f, losses_f, weights)
+        metrics["train_pixel_loss_fine"] = pixel_loss_f
+        # the reference overwrites the logged regularizer metrics with the
+        # fine pass values (run_composite.py:298-301)
+        metrics.update(
+            train_favor_s_loss=losses_f.favor_s_loss,
+            train_d_entropy_loss=losses_f.dynamic_entropy_loss,
+        )
+
+    metrics["train_loss"] = loss
+    metrics["train_psnr"] = -10.0 * jnp.log10(loss)
+    return loss, metrics
+
+
+def make_composite_train_step(
+    cfgs: dict,
+    hp: CompositeHParams,
+    tx: optax.GradientTransformation,
+    depth_values_base,
+    initial_intensity: float,
+    batch_sharding=None,
+):
+    """Build the single-iteration update function (not yet jitted)."""
+    s_fine = hp.depth_samples_fine
+
+    def train_step(state: TrainState, rays, phases, var_ids, non_var_ids):
+        rng, k_sample, k_depth, k_fine = jax.random.split(state.rng, 4)
+
+        batch = sample_ray_batch(k_sample, rays, phases, var_ids, non_var_ids, hp)
+        if batch_sharding is not None:
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                for k, v in batch.items()
+            }
+        batch["initial_intensities"] = jnp.full(
+            (hp.img_sample_size,), initial_intensity, jnp.float32
+        )
+
+        z = stratify_depths(k_depth, depth_values_base)
+
+        def lf(p):
+            return composite_loss_fn(
+                p, batch, z, state.step, cfgs, hp,
+                rng=k_fine if s_fine > 0 else None,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1, rng)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_train_chunk(train_step, n_steps: int):
+    """Scan ``n_steps`` iterations in one device dispatch; metrics stack to
+    ``[n_steps]`` per key for host-side logging and early-stop checks."""
+
+    def chunk(state, rays, phases, var_ids, non_var_ids):
+        def body(st, _):
+            return train_step(st, rays, phases, var_ids, non_var_ids)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return chunk
+
+
+# ---------------------------------------------------------------------------
+# Static (3-D, run_nerf) variant
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticHParams:
+    """Hyperparameters of the static single-field method
+    (``train/3d.txt``, ``run_nerf.py:224-237``)."""
+
+    img_sample_size: int = 1024
+    nb_var_rays: int = 0
+    depth_samples_coarse: int = 500
+    output_activation: str = "softplus"
+    occl_weight_start: float = 1e-4
+    occl_reg_perc: float = 0.1
+    compute_dtype: str = "float32"
+    use_pallas: bool = False
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def static_loss_fn(params, batch, depth_values, step, cfg: FieldConfig, hp: StaticHParams):
+    """Pixel + occlusion loss of the static method (``run_nerf.py:224-231``).
+
+    The occlusion term consumes the UNSCALED sigma from the single-field
+    renderer — reference behavior."""
+    window = field_window(cfg, step)
+    origins, dirs = batch["origins"], batch["directions"]
+    pts = origins[:, None, :] + dirs[:, None, :] * depth_values[:, None]
+    if hp.use_pallas:
+        from nerfca_tpu.ops.pallas.fused_field import fused_static_field
+
+        raw = fused_static_field(params["static"], pts, cfg, window)
+    else:
+        raw = apply_static_field(
+            params["static"], pts, cfg, window=window, compute_dtype=hp.dtype
+        )
+    pix, sigma, dists = render_transmission(
+        raw, batch["initial_intensities"], depth_values, hp.output_activation
+    )
+    pixel_loss = jnp.mean(weighted_mse(pix, batch["pixels"], batch["weights"]))
+    occl = occlusion_loss(sigma, dists, hp.occl_reg_perc)
+    loss = pixel_loss + hp.occl_weight_start * occl
+    metrics = {
+        "train_loss": loss,
+        "train_psnr": -10.0 * jnp.log10(loss),
+        "train_pixel_loss": pixel_loss,
+        "train_occl_loss": occl,
+        "train_static_windowed": window_alpha(cfg, step),
+    }
+    return loss, metrics
+
+
+def make_static_train_step(
+    cfg: FieldConfig,
+    hp: StaticHParams,
+    tx: optax.GradientTransformation,
+    depth_values_base,
+    initial_intensity: float,
+    batch_sharding=None,
+):
+    comp_hp = CompositeHParams(
+        img_sample_size=hp.img_sample_size, nb_var_rays=hp.nb_var_rays
+    )
+
+    def train_step(state: TrainState, rays, phases, var_ids, non_var_ids):
+        rng, k_sample, k_depth = jax.random.split(state.rng, 3)
+        batch = sample_ray_batch(
+            k_sample, rays, phases, var_ids, non_var_ids, comp_hp
+        )
+        if batch_sharding is not None:
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                for k, v in batch.items()
+            }
+        batch["initial_intensities"] = jnp.full(
+            (hp.img_sample_size,), initial_intensity, jnp.float32
+        )
+        z = stratify_depths(k_depth, depth_values_base)
+
+        def lf(p):
+            return static_loss_fn(p, batch, z, state.step, cfg, hp)
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, rng), metrics
+
+    return train_step
+
+
+def make_optimizer(lr: float, lr_end_factor: float, lr_decay_steps: int):
+    """Adam with linear LR decay — PyTorch Adam defaults + LinearLR
+    semantics (``run_composite.py:205-212``)."""
+    schedule = optax.linear_schedule(
+        init_value=lr, end_value=lr * lr_end_factor, transition_steps=lr_decay_steps
+    )
+    return optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)

@@ -1,0 +1,481 @@
+"""End-to-end training drivers for the composite (4-D) and static (3-D)
+methods.
+
+Reference parity: ``train/run_composite.py:41-461`` and
+``train/run_nerf.py:39-301``, re-architected for TPU:
+
+  - the dataset is (re)generated unconditionally, then loaded once and
+    pushed to device HBM (``run_composite.py:62-88``);
+  - the train loop runs in jitted ``lax.scan`` chunks (default 100
+    steps/dispatch) instead of one host round-trip per iteration; the scan
+    still yields PER-STEP metrics, so logging granularity is unchanged;
+  - eval renders, checkpoint saves, and the early stop
+    (``run_composite.py:310-312``) happen at chunk boundaries, with the
+    chunk size clamped to divide ``display_every``;
+  - everything the reference logs is logged under the same names
+    (JSONL always, wandb when available).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfca_tpu.data.dataset import build_dataset, dataset_paths
+from nerfca_tpu.data.loader import denormalize_image, load_dataset
+from nerfca_tpu.geometry.rays import detector_rays
+from nerfca_tpu.models.fields import (
+    FieldConfig,
+    init_static_field,
+    init_temporal_field,
+)
+from nerfca_tpu.ops.sampling import linspace_depths, stratify_depths
+from nerfca_tpu.train import evaluation
+from nerfca_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+from nerfca_tpu.train.config import parse_args
+from nerfca_tpu.train.logging import MetricsLogger, make_log_dir
+from nerfca_tpu.train.step import (
+    CompositeHParams,
+    StaticHParams,
+    TrainState,
+    make_composite_train_step,
+    make_optimizer,
+    make_static_train_step,
+    make_train_chunk,
+)
+
+EARLY_STOP_EPS = 1e-15
+
+
+def field_configs_from_args(args) -> dict[str, FieldConfig]:
+    """Distill the config surface into FieldConfigs
+    (``run_composite.py:147-182``)."""
+    static = FieldConfig(
+        num_early_layers=args.static_num_early_layers,
+        num_late_layers=args.static_num_late_layers,
+        num_filters=args.static_num_filters,
+        num_input_channels=args.num_input_channels,
+        num_output_channels=args.num_output_channels,
+        pos_enc=args.static_pos_enc,
+        pos_enc_basis=args.static_pos_enc_basis,
+        pos_enc_window_start=args.static_pos_enc_window_start,
+        pos_enc_window_decay_steps=args.static_pos_enc_window_decay_steps,
+        fourier_sigma=args.static_pos_enc_fourier_sigma,
+    )
+    temp = FieldConfig(
+        num_early_layers=args.temp_num_early_layers,
+        num_late_layers=args.temp_num_late_layers,
+        num_filters=args.temp_num_filters,
+        num_input_channels=args.num_input_channels,
+        num_output_channels=args.num_output_channels,
+        pos_enc=args.temp_pos_enc,
+        pos_enc_basis=args.temp_pos_enc_basis,
+        pos_enc_window_start=args.temp_pos_enc_window_start,
+        pos_enc_window_decay_steps=args.temp_pos_enc_window_decay_steps,
+        fourier_sigma=args.temp_pos_enc_fourier_sigma,
+        use_time_latents=args.use_time_latents,
+        num_time_dim=args.num_time_dim,
+    )
+    cfgs = {"static": static, "temp": temp}
+    if args.depth_samples_per_ray_fine > 0:
+        import dataclasses
+
+        cfgs["static_fine"] = dataclasses.replace(
+            static, num_filters=args.static_num_filters_fine
+        )
+        cfgs["temp_fine"] = dataclasses.replace(
+            temp, num_filters=args.temp_num_filters_fine
+        )
+    return cfgs
+
+
+def composite_hparams_from_args(args) -> CompositeHParams:
+    nb_var = 0
+    if args.var_sample_perc > 0:
+        nb_var = int((args.var_sample_perc / 100.0) * args.img_sample_size)
+    return CompositeHParams(
+        img_sample_size=args.img_sample_size,
+        nb_var_rays=nb_var,
+        depth_samples_coarse=args.depth_samples_per_ray_coarse,
+        depth_samples_fine=args.depth_samples_per_ray_fine,
+        output_activation=args.output_activation,
+        favor_s_weight_start=args.favor_s_weight_start,
+        favor_s_weight_end=args.favor_s_weight_end,
+        favor_s_weight_delay_steps=args.favor_s_weight_delay_steps,
+        dynamic_entro_weight_start=args.dynamic_entro_weight_start,
+        dynamic_entro_weight_end=args.dynamic_entro_weight_end,
+        occl_weight_start=args.occl_weight_start,
+        occl_weight_end=args.occl_weight_end,
+        l1_weight_start=args.l1_weight_start,
+        l1_weight_end=args.l1_weight_end,
+        hyperparam_decay_steps=args.hyperparam_decay_steps,
+        skewness_val=args.skewness_val,
+        entro_mask_thre=args.entro_mask_thre,
+        entro_use_weighting=args.entro_use_weighting,
+        entro_weighted_thresh=args.entro_weighted_thresh,
+        occl_reg_perc=args.occl_reg_perc,
+        compute_dtype=args.compute_dtype,
+        use_pallas=args.use_pallas,
+    )
+
+
+def _variance_ray_split(rays: np.ndarray, var_sample_thre: float):
+    """High-variance ray id set and its complement
+    (``run_composite.py:96-105``)."""
+    var_ids = np.argwhere(rays[:, -1, 0] > 1.0 + var_sample_thre / 100.0).flatten()
+    all_ids = np.arange(rays.shape[0])
+    non_var_ids = np.setxor1d(var_ids, all_ids)
+    return var_ids.astype(np.int32), non_var_ids.astype(np.int32)
+
+
+def _setup_test_view(data, args):
+    """Single-test-view tensors (``run_composite.py:112-136``)."""
+    if not data.test_frames:
+        return None
+    frame = data.test_frames[0]
+    info = data.info
+    w, h = (int(v) for v in info["nDetector"])
+    origins, dirs = detector_rays(frame["theta"], frame["phi"], frame["larm"], info)
+    img = denormalize_image(
+        np.load(frame["file_path"]), w, h, frame["img_min_max"]
+    )
+    return {
+        "origins": jnp.asarray(np.asarray(origins).reshape(-1, 3)),
+        "directions": jnp.asarray(np.asarray(dirs).reshape(-1, 3)),
+        "phases": jnp.full((w * h,), frame["heart_phase"], jnp.int32),
+        "image": jnp.asarray(img.reshape(-1).astype(np.float32)),
+        "shape": (w, h),
+    }
+
+
+def _chunk_size(args) -> int:
+    chunk = args.steps_per_chunk or 100
+    chunk = max(1, min(chunk, args.display_every))
+    while args.display_every % chunk != 0:
+        chunk -= 1
+    return chunk
+
+
+def _init_composite_state(args, cfgs, tx) -> TrainState:
+    key = jax.random.PRNGKey(args.seed)
+    keys = jax.random.split(key, 8)
+    params = {
+        "static": init_static_field(keys[0], cfgs["static"]),
+        "temp": init_temporal_field(keys[1], cfgs["temp"]),
+    }
+    if "static_fine" in cfgs:
+        params["static_fine"] = init_static_field(keys[2], cfgs["static_fine"])
+        params["temp_fine"] = init_temporal_field(keys[3], cfgs["temp_fine"])
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=keys[7],
+    )
+
+
+def prepare_composite(args, mesh=None):
+    """Everything up to (but not including) the train loop: dataset, device
+    arrays, state, jitted chunk. Shared by the driver, benchmarks, and the
+    multichip dry run."""
+    paths = dataset_paths(args, args.data_root)
+    if not os.path.isfile(paths.general) or not os.path.isfile(paths.train):
+        build_dataset(args, args.data_root)
+    else:
+        # reference regenerates unconditionally (run_composite.py:62-63);
+        # we skip when artifacts exist unless asked
+        if getattr(args, "only_prepare_data", False):
+            build_dataset(args, args.data_root)
+
+    data = load_dataset(paths, args.weighted_loss_max, use_weighting=True)
+    info = data.info
+    near, far = info["near_thresh"], info["far_thresh"]
+    max_pixel_value = info["max_pixel_value"]
+
+    var_ids, non_var_ids = _variance_ray_split(data.rays, args.var_sample_thre)
+    hp = composite_hparams_from_args(args)
+    if hp.nb_var_rays > 0 and len(var_ids) == 0:
+        hp = __import__("dataclasses").replace(hp, nb_var_rays=0)
+
+    cfgs = field_configs_from_args(args)
+    tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
+    state = _init_composite_state(args, cfgs, tx)
+
+    if args.resume_from:
+        state = load_checkpoint(args.resume_from, state)
+
+    depth_values = linspace_depths(near, far, args.depth_samples_per_ray_coarse)
+
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+    train_step = make_composite_train_step(
+        cfgs, hp, tx, depth_values, max_pixel_value, batch_sharding
+    )
+    chunk_fn = jax.jit(
+        make_train_chunk(train_step, _chunk_size(args)), donate_argnums=(0,)
+    )
+
+    device_data = {
+        "rays": jnp.asarray(data.rays),
+        "phases": jnp.asarray(data.phases),
+        "var_ids": jnp.asarray(var_ids) if len(var_ids) else jnp.zeros(1, jnp.int32),
+        "non_var_ids": jnp.asarray(non_var_ids)
+        if len(non_var_ids)
+        else jnp.zeros(1, jnp.int32),
+    }
+    test_view = _setup_test_view(data, args)
+
+    return {
+        "data": data,
+        "device_data": device_data,
+        "state": state,
+        "cfgs": cfgs,
+        "hp": hp,
+        "tx": tx,
+        "chunk_fn": chunk_fn,
+        "train_step": train_step,
+        "depth_values": depth_values,
+        "max_pixel_value": max_pixel_value,
+        "test_view": test_view,
+        "chunk_size": _chunk_size(args),
+        "paths": paths,
+    }
+
+
+def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
+    """The ``run_composite`` entry point. Returns the final state + summary."""
+    if args is None:
+        args = parse_args(argv)
+
+    log_dir = make_log_dir(args.log_dir_root, args.data_name, "-composite")
+    logger = MetricsLogger(log_dir, use_wandb=args.use_wandb, config=vars(args))
+
+    setup = prepare_composite(args)
+    state = setup["state"]
+    dd = setup["device_data"]
+    chunk_fn = setup["chunk_fn"]
+    chunk = setup["chunk_size"]
+    hp, cfgs = setup["hp"], setup["cfgs"]
+    test_view = setup["test_view"]
+
+    # the reference jitters the eval depths once before the loop
+    # (run_composite.py:134-136)
+    test_depths = stratify_depths(
+        jax.random.PRNGKey(args.seed + 1), setup["depth_values"]
+    )
+
+    n_total = (max_steps if max_steps is not None else args.n_iters) + 1
+    start_step = int(state.step)
+    stop = False
+    t_start = time.time()
+
+    if args.profile_steps > 0:
+        jax.profiler.start_trace(os.path.join(log_dir, "profile"))
+
+    step = start_step
+    while step < n_total and not stop:
+        n_now = min(chunk, n_total - step)
+        if n_now != chunk:
+            # tail chunk: re-jit once with the smaller length
+            tail_fn = jax.jit(
+                make_train_chunk(setup["train_step"], n_now), donate_argnums=(0,)
+            )
+            state, metrics = tail_fn(
+                state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"]
+            )
+        else:
+            state, metrics = chunk_fn(
+                state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"]
+            )
+        metrics = jax.tree.map(np.asarray, metrics)
+        chunk_time = time.time() - t_start
+        t_start = time.time()
+
+        # per-step logging at log_every granularity (run_composite.py:314-344)
+        for i in range(n_now):
+            s = step + i
+            if s % args.log_every == 0:
+                rec = {k: v[i] for k, v in metrics.items()}
+                rec["train_time"] = chunk_time / n_now
+                logger.log(rec, step=s)
+
+        # early stop (run_composite.py:310-312)
+        d_ent = metrics["train_d_entropy_loss"]
+        favor = metrics["train_favor_s_loss"]
+        steps_arr = np.arange(step, step + n_now)
+        hit = (
+            ((d_ent < EARLY_STOP_EPS) | (favor < EARLY_STOP_EPS))
+            & (steps_arr >= args.static_pos_enc_window_decay_steps)
+        )
+        if hit.any():
+            first = int(np.argmax(hit))
+            print(
+                f"Early stop at step {step + first}: "
+                f"d_entropy={d_ent[first]:.3e} favor={favor[first]:.3e}"
+            )
+            stop = True
+
+        step += n_now
+
+        if args.profile_steps and step - start_step >= args.profile_steps:
+            jax.profiler.stop_trace()
+            args.profile_steps = 0
+
+        if test_view is not None and (step % args.display_every == 0 or stop):
+            render = evaluation.render_test_view(
+                state.params,
+                test_view["origins"],
+                test_view["directions"],
+                test_view["phases"],
+                test_depths,
+                step,
+                cfgs,
+                hp,
+                setup["max_pixel_value"],
+            )
+            tm = evaluation.test_metrics(
+                render, test_view["image"], step, hp, img_shape=test_view["shape"]
+            )
+            logger.log(tm, step=step)
+            w, h = test_view["shape"]
+            norm = evaluation.normalize01
+            gt = np.asarray(test_view["image"]).reshape(w, h)
+            pred = np.asarray(render["pix"]).reshape(w, h)
+            logger.log_images(
+                {
+                    "prediction_coarse": norm(pred),
+                    "original_coarse": norm(gt),
+                    "difference_coarse": np.abs(norm(pred) - norm(gt)),
+                    "dynamic_coarse": norm(
+                        np.asarray(render["pix_temp"]).reshape(w, h)
+                    ),
+                    "static_coarse": norm(
+                        np.asarray(render["pix_static"]).reshape(w, h)
+                    ),
+                },
+                step,
+            )
+            print(
+                f"step {step}: test_loss={tm['test_loss']:.6f} "
+                f"test_psnr={tm['test_psnr']:.3f} image_psnr={tm['test_image_psnr']:.3f}"
+            )
+
+        if step % args.save_every == 0 or stop or step >= n_total:
+            save_checkpoint(
+                os.path.join(log_dir, "checkpoint"),
+                state,
+                cfgs,
+                run_metadata={"data_name": args.data_name, "step": int(state.step)},
+            )
+
+    logger.close()
+    return {"state": state, "log_dir": log_dir, "setup": setup}
+
+
+# ---------------------------------------------------------------------------
+# Static (3-D) driver
+
+
+def static_hparams_from_args(args) -> StaticHParams:
+    nb_var = 0
+    if args.var_sample_perc > 0:
+        nb_var = int((args.var_sample_perc / 100.0) * args.img_sample_size)
+    return StaticHParams(
+        img_sample_size=args.img_sample_size,
+        nb_var_rays=nb_var,
+        depth_samples_coarse=args.depth_samples_per_ray_coarse,
+        output_activation=args.output_activation,
+        occl_weight_start=args.occl_weight_start,
+        occl_reg_perc=args.occl_reg_perc,
+        compute_dtype=args.compute_dtype,
+        use_pallas=args.use_pallas,
+    )
+
+
+def train_static(args=None, argv=None, max_steps: Optional[int] = None):
+    """The ``run_nerf`` entry point: single static field, one cardiac phase
+    (``run_nerf.py:39-301``)."""
+    if args is None:
+        args = parse_args(argv)
+    # the static method forces a single phase (run_nerf.py:61)
+    args.data_time_range_end = args.data_time_range_start + 1
+
+    log_dir = make_log_dir(args.log_dir_root, args.data_name, "-static")
+    logger = MetricsLogger(log_dir, use_wandb=args.use_wandb, config=vars(args))
+
+    paths = dataset_paths(args, args.data_root)
+    if not os.path.isfile(paths.general) or not os.path.isfile(paths.train):
+        build_dataset(args, args.data_root)
+    data = load_dataset(
+        paths, args.weighted_loss_max, use_weighting=(args.var_sample_perc > 0)
+    )
+    info = data.info
+    near, far = info["near_thresh"], info["far_thresh"]
+    max_pixel_value = info["max_pixel_value"]
+
+    var_ids, non_var_ids = _variance_ray_split(data.rays, args.var_sample_thre)
+    hp = static_hparams_from_args(args)
+    if hp.nb_var_rays > 0 and len(var_ids) == 0:
+        hp = __import__("dataclasses").replace(hp, nb_var_rays=0)
+
+    cfg = field_configs_from_args(args)["static"]
+    tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
+    key = jax.random.PRNGKey(args.seed)
+    params = {"static": init_static_field(key, cfg)}
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), key)
+
+    depth_values = linspace_depths(near, far, args.depth_samples_per_ray_coarse)
+    train_step = make_static_train_step(cfg, hp, tx, depth_values, max_pixel_value)
+    chunk = _chunk_size(args)
+    chunk_fn = jax.jit(make_train_chunk(train_step, chunk), donate_argnums=(0,))
+
+    dd = {
+        "rays": jnp.asarray(data.rays),
+        "phases": jnp.asarray(data.phases),
+        "var_ids": jnp.asarray(var_ids) if len(var_ids) else jnp.zeros(1, jnp.int32),
+        "non_var_ids": jnp.asarray(non_var_ids)
+        if len(non_var_ids)
+        else jnp.zeros(1, jnp.int32),
+    }
+
+    n_total = (max_steps if max_steps is not None else args.n_iters) + 1
+    step = 0
+    t_start = time.time()
+    while step < n_total:
+        n_now = min(chunk, n_total - step)
+        if n_now != chunk:
+            fn = jax.jit(make_train_chunk(train_step, n_now), donate_argnums=(0,))
+        else:
+            fn = chunk_fn
+        state, metrics = fn(
+            state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"]
+        )
+        metrics = jax.tree.map(np.asarray, metrics)
+        chunk_time = time.time() - t_start
+        t_start = time.time()
+        for i in range(n_now):
+            s = step + i
+            if s % args.log_every == 0:
+                rec = {k: v[i] for k, v in metrics.items()}
+                rec["train_time"] = chunk_time / n_now
+                logger.log(rec, step=s)
+        step += n_now
+        if step % args.save_every == 0 or step >= n_total:
+            save_checkpoint(
+                os.path.join(log_dir, "checkpoint"),
+                state,
+                {"static": cfg},
+                run_metadata={"data_name": args.data_name, "step": int(state.step)},
+            )
+
+    logger.close()
+    return {"state": state, "log_dir": log_dir}

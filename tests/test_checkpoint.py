@@ -1,0 +1,86 @@
+"""Checkpoint save/restore round-trip tests (the reference is save-only with
+no resume path — SURVEY §5; here resume is first-class)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfca_tpu.ops.sampling import linspace_depths
+from nerfca_tpu.train.checkpoint import (
+    load_checkpoint,
+    load_field_configs,
+    save_checkpoint,
+)
+from nerfca_tpu.train.step import make_composite_train_step, make_optimizer, make_train_chunk
+from tests.test_train_step import make_state, synthetic_rays, tiny_cfgs, tiny_hp
+
+
+def test_roundtrip_preserves_state(tmp_path):
+    cfgs = tiny_cfgs()
+    tx = make_optimizer(1e-3, 0.1, 100)
+    state = make_state(cfgs, tx)
+    # advance a few steps so opt_state and step are nontrivial
+    hp = tiny_hp()
+    rays, phases = synthetic_rays(128)
+    z = linspace_depths(3.6, 5.4, hp.depth_samples_coarse)
+    step = make_composite_train_step(cfgs, hp, tx, z, 2.16)
+    chunk = jax.jit(make_train_chunk(step, 3))
+    dummy = jnp.zeros(1, jnp.int32)
+    state, _ = chunk(state, rays, phases, dummy, dummy)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state, cfgs, run_metadata={"note": "test"})
+
+    fresh = make_state(cfgs, tx, seed=99)
+    restored = load_checkpoint(ckpt_dir, fresh)
+
+    assert int(restored.step) == int(state.step) == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.opt_state),
+        jax.tree_util.tree_leaves(restored.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_identically(tmp_path):
+    """train 3 -> save -> train 3 more must equal train 6 straight."""
+    cfgs = tiny_cfgs()
+    hp = tiny_hp()
+    tx = make_optimizer(1e-3, 0.1, 100)
+    rays, phases = synthetic_rays(128)
+    z = linspace_depths(3.6, 5.4, hp.depth_samples_coarse)
+    step = make_composite_train_step(cfgs, hp, tx, z, 2.16)
+    chunk3 = jax.jit(make_train_chunk(step, 3))
+    chunk6 = jax.jit(make_train_chunk(step, 6))
+    dummy = jnp.zeros(1, jnp.int32)
+
+    s_direct = make_state(cfgs, tx)
+    s_direct, m6 = chunk6(s_direct, rays, phases, dummy, dummy)
+
+    s_a = make_state(cfgs, tx)
+    s_a, _ = chunk3(s_a, rays, phases, dummy, dummy)
+    save_checkpoint(str(tmp_path / "c"), s_a, cfgs)
+    s_b = load_checkpoint(str(tmp_path / "c"), make_state(cfgs, tx, seed=7))
+    s_b, m_resumed = chunk3(s_b, rays, phases, dummy, dummy)
+
+    np.testing.assert_allclose(
+        np.asarray(m6["train_loss"])[3:],
+        np.asarray(m_resumed["train_loss"]),
+        rtol=1e-6,
+    )
+
+
+def test_field_config_metadata_roundtrip(tmp_path):
+    cfgs = tiny_cfgs(fine=True)
+    tx = make_optimizer(1e-3, 0.1, 100)
+    state = make_state(cfgs, tx)
+    save_checkpoint(str(tmp_path / "c"), state, cfgs)
+    loaded = load_field_configs(str(tmp_path / "c"))
+    assert set(loaded) == {"static", "temp", "static_fine", "temp_fine"}
+    assert loaded["static"] == cfgs["static"]
+    assert loaded["temp_fine"].num_filters == 8

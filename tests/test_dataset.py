@@ -1,0 +1,187 @@
+"""Dataset builder + loader artifact-contract tests
+(reference: ``preprocess/datatoray.py``, ``train/data_helpers.py:129-165``)."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerfca_tpu.data.dataset import build_dataset, dataset_paths
+from nerfca_tpu.data.loader import denormalize_image, load_dataset, prepare_rays
+from nerfca_tpu.data.views import (
+    CLINICAL_TEST_ANGLES,
+    FOUR_VIEW_PRESET,
+    drop_near_test_views,
+    grid_angles,
+    select_views,
+)
+
+
+def synth_args(tmp_path, **kw):
+    base = dict(
+        data_name="SYNTH",
+        data_size=50,
+        synth_vol_size=24,
+        data_limited_range=60.0,
+        data_step_size=120.0,
+        data_numb_angles=4,
+        data_time_range_start=0,
+        data_time_range_end=2,
+        data_limited_range_test=None,
+        data_step_size_test=None,
+        use_experiment_name=False,
+        experiment_name=None,
+        volume_root=None,
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ds")
+    args = synth_args(tmp)
+    paths = build_dataset(args, str(tmp / "data"), projector_samples=64)
+    return args, paths
+
+
+def test_views_grid_and_filtering():
+    angles = grid_angles(60, 15)
+    assert angles.shape == (81, 2)
+    kept = drop_near_test_views(angles, CLINICAL_TEST_ANGLES)
+    assert kept.shape[0] < 81
+    # every kept angle is >15 deg L1 from every test angle
+    d = np.abs(kept[:, None] - CLINICAL_TEST_ANGLES[None]).sum(-1)
+    assert (d > 15).all()
+
+
+def test_views_four_angle_preset():
+    phases = select_views(60, 120, numb_angles=4, time_range_end=3)
+    assert len(phases) == 3
+    np.testing.assert_array_equal(phases[0]["train_viewpoints"], FOUR_VIEW_PRESET)
+    np.testing.assert_array_equal(phases[0]["test_viewpoints"], CLINICAL_TEST_ANGLES)
+    assert phases[2]["hrt_phase"] == 0.2
+
+
+def test_views_presets_2_3():
+    assert select_views(60, 120, numb_angles=2)[0]["train_viewpoints"].shape == (2, 2)
+    assert select_views(60, 120, numb_angles=3)[0]["train_viewpoints"].shape == (3, 2)
+    with pytest.raises(ValueError):
+        select_views(60, 120, numb_angles=7)
+
+
+def test_views_test_grid_override():
+    phases = select_views(
+        60, 120, numb_angles=4, limited_range_test=180, step_size_test=90
+    )
+    tv = phases[0]["test_viewpoints"]
+    # grid 5x5 plus the prepended [0, -90]
+    assert tv.shape == (26, 2)
+    np.testing.assert_array_equal(tv[0], [0, -90])
+
+
+def test_artifact_contract(built):
+    args, paths = built
+    assert os.path.isfile(paths.general)
+    assert os.path.isfile(paths.train)
+    assert os.path.isfile(paths.test)
+    assert os.path.isfile(paths.evaluate)
+    assert os.path.isfile(paths.srcmatrices)
+
+    info = json.load(open(paths.general))
+    for key in ("DSD", "DSO", "nDetector", "dDetector", "offDetector",
+                "near_thresh", "far_thresh", "max_pixel_value"):
+        assert key in info, key
+    assert info["max_pixel_value"] == pytest.approx(np.log(8.670397))
+
+    train = json.load(open(paths.train))["frames"]
+    # 2 phases x 4 train views
+    assert len(train) == 8
+    frame = train[0]
+    for key in ("image_id_str", "image_id", "file_path", "img_min_max",
+                "weighted_file_path", "resp_phase", "heart_phase", "theta",
+                "phi", "larm"):
+        assert key in frame, key
+    assert os.path.isfile(frame["file_path"])
+    img = np.load(frame["file_path"])
+    assert img.shape == (50, 50)
+    assert img.min() == pytest.approx(0.0) and img.max() == pytest.approx(1.0)
+
+    test = json.load(open(paths.test))["frames"]
+    assert len(test) == 2 * len(CLINICAL_TEST_ANGLES)
+
+    src = json.load(open(paths.srcmatrices))
+    mat = np.asarray(next(iter(src.values())))
+    assert mat.shape == (4, 4)
+
+
+def test_denormalize_roundtrip(built):
+    args, paths = built
+    frame = json.load(open(paths.train))["frames"][0]
+    img = denormalize_image(np.load(frame["file_path"]), 50, 50, frame["img_min_max"])
+    mn, mx = frame["img_min_max"]
+    assert img.min() == pytest.approx(mn, abs=1e-6)
+    assert img.max() == pytest.approx(mx, abs=1e-6)
+
+
+def test_loader_shapes_and_phases(built):
+    args, paths = built
+    data = load_dataset(paths, weighted_loss_max=1.0, use_weighting=False)
+    n = 8 * 50 * 50
+    assert data.rays.shape == (n, 4, 3)
+    assert data.phases.shape == (n,)
+    assert set(np.unique(data.phases)) == {0, 1}
+    # single test frame rule (run_composite.py:74-76)
+    assert len(data.test_frames) == 1
+    # directions have sane magnitudes (unnormalized, ~1)
+    norms = np.linalg.norm(data.rays[:, 1, :], axis=-1)
+    assert 0.9 < norms.min() and norms.max() < 1.2
+
+
+def test_loader_pixel_alignment(built):
+    """Loaded pixel values must correspond ray-for-ray with a fresh
+    projection through the stored geometry (self-consistency of the whole
+    save->load->transpose chain)."""
+    from nerfca_tpu.data.phantom import synthetic_phantom_volume
+    from nerfca_tpu.ops.projector import project_view
+
+    args, paths = built
+    data = load_dataset(paths, use_weighting=False)
+    frame = data.train_frames[0]
+    vol = synthetic_phantom_volume(size=24, phase=frame["heart_phase"] / 10)
+    integral = np.asarray(
+        project_view(vol, data.info, frame["theta"], frame["phi"], n_samples=64)
+    )
+    expected_pixels = np.log(8.670397) - integral  # log-transmission
+    got = data.rays[: 50 * 50, 2, 0].reshape(50, 50)
+    np.testing.assert_allclose(got, expected_pixels, atol=1e-4)
+
+
+def test_variance_maps_written_for_full_cycle(tmp_path):
+    args = synth_args(
+        tmp_path, data_time_range_start=0, data_time_range_end=10, synth_vol_size=16
+    )
+    paths = build_dataset(args, str(tmp_path / "data"), projector_samples=32)
+    frames = json.load(open(paths.train))["frames"]
+    wpath = frames[0]["weighted_file_path"]
+    assert os.path.isfile(wpath)
+    w = np.load(wpath)
+    assert w.min() >= 1.0 and w.max() <= 2.0 + 1e-9
+    # weights must peak where motion is (not constant)
+    assert w.max() - w.min() > 0.5
+
+    data = load_dataset(paths, weighted_loss_max=2.0)
+    # rescale [1,2] -> [1, 3] (data_helpers.py:154-155)
+    assert data.rays[:, 3, 0].max() <= 3.0 + 1e-6
+    assert data.rays[:, 3, 0].min() >= 1.0 - 1e-6
+
+
+def test_experiment_name_paths(tmp_path):
+    args = synth_args(tmp_path, use_experiment_name=True, experiment_name="exp1")
+    paths = dataset_paths(args, str(tmp_path / "data"))
+    assert paths.train.endswith("train-exp1.json")
+    args2 = synth_args(tmp_path)
+    paths2 = dataset_paths(args2, str(tmp_path / "data"))
+    assert paths2.train.endswith("train-60.0-120.0-0-2.json")

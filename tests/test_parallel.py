@@ -1,0 +1,124 @@
+"""SPMD tests on the 8-device virtual CPU mesh: data-parallel training and
+the depth-sharded renderer (no reference analog — SURVEY §2.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nerfca_tpu.models.fields import FieldConfig, init_static_field, init_temporal_field
+from nerfca_tpu.ops.render import render_transmission_composite
+from nerfca_tpu.ops.sampling import linspace_depths
+from nerfca_tpu.models.fields import apply_static_field, apply_temporal_field
+from nerfca_tpu.parallel.depth_shard import depth_sharded_render
+from nerfca_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from nerfca_tpu.train.step import (
+    TrainState,
+    make_composite_train_step,
+    make_optimizer,
+    make_train_chunk,
+)
+from tests.test_train_step import make_state, synthetic_rays, tiny_cfgs, tiny_hp
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
+    mesh2 = make_mesh(8, axis_names=("data", "depth"), shape=(4, 2))
+    assert mesh2.axis_names == ("data", "depth")
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_data_parallel_step_matches_single_device():
+    """The sharded step must produce numerically identical updates."""
+    cfgs = tiny_cfgs()
+    hp = tiny_hp()
+    tx = make_optimizer(1e-3, 1.0, 100)
+    rays, phases = synthetic_rays(512)
+    z = linspace_depths(3.6, 5.4, hp.depth_samples_coarse)
+    dummy = jnp.zeros(1, jnp.int32)
+
+    # single device
+    state1 = make_state(cfgs, tx)
+    step1 = make_composite_train_step(cfgs, hp, tx, z, 2.16)
+    chunk1 = jax.jit(make_train_chunk(step1, 4))
+    state1, m1 = chunk1(state1, rays, phases, dummy, dummy)
+
+    # 8-device data parallel
+    mesh = make_mesh(8)
+    bshard = batch_sharding(mesh)
+    state8 = make_state(cfgs, tx)
+    state8 = TrainState(
+        replicate(mesh, state8.params),
+        replicate(mesh, state8.opt_state),
+        state8.step,
+        state8.rng,
+    )
+    step8 = make_composite_train_step(cfgs, hp, tx, z, 2.16, batch_sharding=bshard)
+    chunk8 = jax.jit(make_train_chunk(step8, 4))
+    state8, m8 = chunk8(state8, rays, phases, dummy, dummy)
+
+    np.testing.assert_allclose(
+        np.asarray(m1["train_loss"]), np.asarray(m8["train_loss"]), rtol=2e-4
+    )
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_depth_sharded_render_matches_dense():
+    cfgs = tiny_cfgs()
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    params = {
+        "static": init_static_field(k1, cfgs["static"]),
+        "temp": init_temporal_field(k2, cfgs["temp"]),
+    }
+    r, s = 16, 64
+    origins = jnp.full((r, 3), jnp.asarray([4.5, 0.0, 0.0]))
+    dirs = jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]), (r, 1)) + \
+        jax.random.normal(key, (r, 3)) * 0.01
+    phases = jax.random.randint(key, (r,), 0, 10)
+    z = linspace_depths(3.6, 5.4, s)
+    windows = {"static": jnp.ones(4), "temp": jnp.ones(4)}
+
+    # dense reference
+    pts = origins[:, None, :] + dirs[:, None, :] * z[:, None]
+    pph = jnp.broadcast_to(phases[:, None], (r, s)).astype(jnp.int32)
+    s_raw = apply_static_field(params["static"], pts, cfgs["static"], windows["static"])
+    t_raw = apply_temporal_field(params["temp"], pts, pph, cfgs["temp"], windows["temp"])
+    pix_ref, *_ = render_transmission_composite(s_raw, t_raw, jnp.full((r,), 2.16), z)
+
+    mesh = make_mesh(8, axis_names=("depth",))
+    pix, s_attn, t_attn = depth_sharded_render(
+        mesh, params, origins, dirs, phases, z,
+        cfgs["static"], cfgs["temp"], windows, 2.16,
+    )
+    np.testing.assert_allclose(np.asarray(pix), np.asarray(pix_ref), atol=2e-5)
+    # decomposed attns sum to the total attenuation
+    np.testing.assert_allclose(
+        np.asarray(2.16 - pix), np.asarray(s_attn + t_attn), atol=2e-5
+    )
+
+
+def test_2d_mesh_train_and_render_compose():
+    """Train on a ('data','depth') 2-D mesh: batch over 'data'."""
+    cfgs = tiny_cfgs()
+    hp = tiny_hp(img_sample_size=32)
+    tx = make_optimizer(1e-3, 1.0, 100)
+    rays, phases = synthetic_rays(256)
+    z = linspace_depths(3.6, 5.4, hp.depth_samples_coarse)
+    mesh = make_mesh(8, axis_names=("data", "depth"), shape=(4, 2))
+    bshard = NamedSharding(mesh, P("data"))
+    state = make_state(cfgs, tx)
+    step = make_composite_train_step(cfgs, hp, tx, z, 2.16, batch_sharding=bshard)
+    chunk = jax.jit(make_train_chunk(step, 2))
+    dummy = jnp.zeros(1, jnp.int32)
+    state, m = chunk(state, rays, phases, dummy, dummy)
+    assert np.isfinite(np.asarray(m["train_loss"])).all()

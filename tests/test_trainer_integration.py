@@ -1,0 +1,146 @@
+"""End-to-end driver integration: tiny synthetic dataset -> composite
+training -> eval artifacts, exercising every layer at once (the TPU analog
+of SURVEY §4's integration-test seam)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerfca_tpu.train.config import parse_args
+from nerfca_tpu.train.trainer import train_composite, train_static
+
+
+def tiny_argv(tmp_path, extra=()):
+    return [
+        "--config", "configs/synth-small.txt",
+        "--data_root", str(tmp_path / "data"),
+        "--log_dir_root", str(tmp_path / "cases"),
+        "--synth_vol_size", "20",
+        "--depth_samples_per_ray_coarse", "48",
+        "--img_sample_size", "64",
+        "--steps_per_chunk", "20",
+        "--n_iters", "100",
+        "--display_every", "100",
+        "--save_every", "100",
+        "--log_every", "20",
+        "--lr_decay_steps", "80",
+        "--static_pos_enc_window_decay_steps", "80",
+        "--temp_pos_enc_window_decay_steps", "80",
+        "--hyperparam_decay_steps", "80",
+        "--favor_s_weight_delay_steps", "40",
+        *extra,
+    ]
+
+
+@pytest.fixture(scope="module")
+def composite_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("run")
+    args = parse_args(tiny_argv(tmp))
+    out = train_composite(args)
+    return tmp, args, out
+
+
+def test_composite_completes_and_logs(composite_run):
+    tmp, args, out = composite_run
+    assert int(out["state"].step) == 101  # n_iters + 1 (range semantics)
+    log_dir = out["log_dir"]
+    metrics_path = os.path.join(log_dir, "metrics.jsonl")
+    assert os.path.isfile(metrics_path)
+    records = [json.loads(l) for l in open(metrics_path)]
+    train_recs = [r for r in records if "train_loss" in r]
+    test_recs = [r for r in records if "test_loss" in r]
+    assert len(train_recs) >= 5
+    assert len(test_recs) >= 1
+    # reference metric names present
+    for key in ("train_psnr", "train_blendw", "train_favor_s_loss",
+                "train_d_entropy_loss", "train_s_l1", "favor_s_weight",
+                "train_static_windowed", "train_time"):
+        assert key in train_recs[-1], key
+    for key in ("test_psnr", "test_blendw", "test_image_psnr", "test_image_ssim"):
+        assert key in test_recs[-1], key
+    assert np.isfinite(train_recs[-1]["train_loss"])
+
+
+def test_composite_saves_checkpoint_and_config(composite_run):
+    tmp, args, out = composite_run
+    log_dir = out["log_dir"]
+    assert os.path.isdir(os.path.join(log_dir, "checkpoint"))
+    assert os.path.isfile(os.path.join(log_dir, "config.json"))
+    cfg = json.load(open(os.path.join(log_dir, "config.json")))
+    assert cfg["data_name"] == "SYNTH"
+
+
+def test_composite_panels_written(composite_run):
+    tmp, args, out = composite_run
+    panels = os.listdir(os.path.join(out["log_dir"], "panels"))
+    names = {p.split("-")[0] for p in panels}
+    assert {"prediction", "original", "difference", "dynamic", "static"} <= {
+        n.split("_")[0] for n in names
+    } or len(panels) >= 5
+
+
+def test_composite_resume(composite_run, tmp_path):
+    tmp, args, out = composite_run
+    ckpt = os.path.join(out["log_dir"], "checkpoint")
+    argv = tiny_argv(tmp, extra=["--resume_from", ckpt, "--n_iters", "120"])
+    args2 = parse_args(argv)
+    out2 = train_composite(args2)
+    assert int(out2["state"].step) == 121
+
+
+def test_static_driver(tmp_path):
+    args = parse_args([
+        "--config", "configs/3d.txt",
+        "--data_root", str(tmp_path / "data"),
+        "--log_dir_root", str(tmp_path / "cases"),
+        "--data_name", "SYNTH",
+        "--data_size", "50",
+        "--synth_vol_size", "20",
+        "--data_step_size", "120",
+        "--data_numb_angles", "4",
+        "--depth_samples_per_ray_coarse", "48",
+        "--img_sample_size", "64",
+        "--static_num_filters", "16",
+        "--static_num_early_layers", "2",
+        "--steps_per_chunk", "20",
+        "--n_iters", "60",
+        "--display_every", "60",
+        "--save_every", "60",
+        "--log_every", "20",
+    ])
+    out = train_static(args)
+    assert int(out["state"].step) == 61
+    records = [json.loads(l) for l in open(os.path.join(out["log_dir"], "metrics.jsonl"))]
+    train_recs = [r for r in records if "train_loss" in r]
+    assert train_recs and np.isfinite(train_recs[-1]["train_loss"])
+    # single-phase dataset was built (run_nerf.py:61 semantics)
+    assert args.data_time_range_end == args.data_time_range_start + 1
+
+
+def test_sweep_local_executor(tmp_path):
+    import yaml
+
+    sweep_yaml = tmp_path / "sweep.yaml"
+    yaml.safe_dump(
+        {
+            "method": "grid",
+            "metric": {"goal": "minimize", "name": "train_loss"},
+            "parameters": {"lr": {"values": [1e-3, 1e-2]}},
+            "early_terminate": {"type": "hyperband", "max_iter": 40},
+        },
+        sweep_yaml.open("w"),
+    )
+    argv = tiny_argv(tmp_path, extra=["--wandb_sweep_yaml", str(sweep_yaml)])
+    args = parse_args(argv)
+
+    from nerfca_tpu.train.sweep import run_sweep
+    from nerfca_tpu.train.trainer import train_composite as fn
+
+    results = run_sweep(args, fn)
+    assert len(results) == 2
+    assert {r["overrides"]["lr"] for r in results} == {1e-3, 1e-2}
+    assert all(r["train_loss"] is not None for r in results)
+    out_path = os.path.join(str(tmp_path / "cases"), "SYNTH", "sweep_results.json")
+    assert os.path.isfile(out_path)
