@@ -1,0 +1,479 @@
+"""Fused encode->MLP field evaluation as Pallas TPU kernels with a custom
+VJP.
+
+What it fuses (per tile of points, entirely in VMEM):
+  windowed positional encoding -> input layer -> hidden ReLU stack ->
+  linear density output, for the static and temporal fields TOGETHER
+  (sharing the point tile), with all weights resident in VMEM.
+
+Why: the unfused XLA graph round-trips a [N, 128] activation through HBM at
+every layer boundary; at the flagship shapes (N = 512k points/step) that is
+~15x more HBM traffic than the kernel's FLOP time — the op is
+bandwidth-bound. Fusing makes it MXU-bound.
+
+Layout: everything is FEATURE-MAJOR ([features, points]) so each layer is a
+[128, 128] x [128, T] MXU matmul and the per-band encoding window broadcasts
+along lanes. The encoding itself is computed AS A MATMUL: a constant
+[128, 3] frequency matrix maps points to per-band phases, one `sin` with a
+per-row phase offset produces sin/cos features, and a per-row mask applies
+the annealing window (raw coordinate rows pass through unchanged — selected
+by row index). The first-layer weights are zero-padded from the encoded
+width (3 + 6*basis) to 128 rows; padded rows are masked to zero so they
+contribute nothing.
+
+The backward pass is a second Pallas kernel that recomputes the forward
+activations per tile (cheap; avoids stashing [N, 128] residuals in HBM) and
+accumulates weight gradients in VMEM across the sequential TPU grid.
+
+Supported configs (falls back to the jnp path otherwise — see
+``pallas_supported``): hidden width 128, no late/skip layers, 1 output
+channel, 3 input channels, windowed or 'none' encodings with
+3 + 6*basis <= 128.
+
+Reference math being fused: ``model/CPPN.py:88-135`` +
+``model/Temporal.py:113-151`` (encode + MLP), SURVEY §2.1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerfca_tpu.models.fields import FieldConfig
+
+WIDTH = 128
+OUT_PAD = 8  # output rows padded to the f32 sublane tile
+DEFAULT_TILE = 512
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def pallas_supported(cfg: FieldConfig) -> bool:
+    return (
+        cfg.num_filters == WIDTH
+        and cfg.num_late_layers == 0
+        and cfg.num_output_channels == 1
+        and cfg.num_input_channels == 3
+        and cfg.pos_enc in ("none", "free_windowed", "nerfies_windowed")
+        and 3 + 6 * cfg.pos_enc_basis <= WIDTH
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter packing (differentiable jnp; AD maps padded grads back for free)
+
+
+def _encoding_constants(cfg: FieldConfig):
+    """Static [128, 3] frequency matrix + [128, 1] phase offsets + row masks."""
+    basis = cfg.pos_enc_basis if cfg.pos_enc != "none" else 0
+    F = np.zeros((WIDTH, 3), np.float32)
+    phase = np.zeros((WIDTH, 1), np.float32)
+    F[:3, :] = np.eye(3)
+    for b in range(basis):
+        for c in range(3):
+            F[3 + 6 * b + c, c] = 2.0**b  # sin rows
+            F[3 + 6 * b + 3 + c, c] = 2.0**b  # cos rows
+            phase[3 + 6 * b + 3 + c, 0] = 0.5 * np.pi
+    return jnp.asarray(F), jnp.asarray(phase)
+
+
+def _window_mask(cfg: FieldConfig, window):
+    """[128, 1] per-row annealing mask: 1 on raw rows, window[b] on band
+    rows, 0 on padding rows."""
+    basis = cfg.pos_enc_basis if cfg.pos_enc != "none" else 0
+    mask = jnp.zeros((WIDTH,), jnp.float32)
+    mask = mask.at[:3].set(1.0)
+    if basis > 0:
+        w = jnp.ones((basis,), jnp.float32) if window is None else window
+        band = jnp.repeat(w, 6)  # [6*basis], sin+cos x 3 channels per band
+        mask = jax.lax.dynamic_update_slice(mask, band.astype(jnp.float32), (3,))
+    return mask[:, None]
+
+
+def _pack_mlp(params, enc_width: int):
+    """Transpose + pad the field MLP into kernel layout."""
+    early = params["early"]
+    w1 = early[0]["w"]  # [enc(+latent), 128]
+    w1_enc = w1[:enc_width]
+    w1t = jnp.zeros((WIDTH, WIDTH), jnp.float32)
+    w1t = w1t.at[:, :enc_width].set(w1_enc.T)
+    b1 = early[0].get("b", jnp.zeros(WIDTH))[:, None]
+    wh = jnp.stack([l["w"].T for l in early[1:]]) if len(early) > 1 else jnp.zeros(
+        (0, WIDTH, WIDTH), jnp.float32
+    )
+    bh = (
+        jnp.stack([l.get("b", jnp.zeros(WIDTH))[:, None] for l in early[1:]])
+        if len(early) > 1
+        else jnp.zeros((0, WIDTH, 1), jnp.float32)
+    )
+    wo = jnp.zeros((OUT_PAD, WIDTH), jnp.float32).at[0].set(params["out"]["w"][:, 0])
+    bo = jnp.zeros((OUT_PAD, 1), jnp.float32).at[0, 0].set(
+        params["out"].get("b", jnp.zeros(1))[0]
+    )
+    return w1t, b1, wh, bh, wo, bo
+
+
+def _pack_static(params, cfg: FieldConfig, window):
+    F, phase = _encoding_constants(cfg)
+    wm = _window_mask(cfg, window)
+    enc_width = 3 + 6 * (cfg.pos_enc_basis if cfg.pos_enc != "none" else 0)
+    w1t, b1, wh, bh, wo, bo = _pack_mlp(params, enc_width)
+    return {"F": F, "phase": phase, "wm": jax.lax.stop_gradient(wm),
+            "w1": w1t, "b1": b1, "wh": wh, "bh": bh, "wo": wo, "bo": bo}
+
+
+def _pack_temporal(params, cfg: FieldConfig, window):
+    F, phase = _encoding_constants(cfg)
+    wm = _window_mask(cfg, window)
+    enc_width = 3 + 6 * (cfg.pos_enc_basis if cfg.pos_enc != "none" else 0)
+    w1 = params["early"][0]["w"]  # [enc + D, 128]
+    d = cfg.num_time_dim
+    w1t = jnp.zeros((WIDTH, WIDTH), jnp.float32)
+    w1t = w1t.at[:, :enc_width].set(w1[:enc_width].T)
+    w1l = jnp.zeros((WIDTH, OUT_PAD), jnp.float32)
+    w1l = w1l.at[:, :d].set(w1[enc_width : enc_width + d].T)
+    b1 = params["early"][0].get("b", jnp.zeros(WIDTH))[:, None]
+    early = params["early"]
+    wh = jnp.stack([l["w"].T for l in early[1:]]) if len(early) > 1 else jnp.zeros(
+        (0, WIDTH, WIDTH), jnp.float32
+    )
+    bh = (
+        jnp.stack([l.get("b", jnp.zeros(WIDTH))[:, None] for l in early[1:]])
+        if len(early) > 1
+        else jnp.zeros((0, WIDTH, 1), jnp.float32)
+    )
+    wo = jnp.zeros((OUT_PAD, WIDTH), jnp.float32).at[0].set(params["out"]["w"][:, 0])
+    bo = jnp.zeros((OUT_PAD, 1), jnp.float32).at[0, 0].set(
+        params["out"].get("b", jnp.zeros(1))[0]
+    )
+    return {"F": F, "phase": phase, "wm": jax.lax.stop_gradient(wm),
+            "w1": w1t, "w1l": w1l, "b1": b1, "wh": wh, "bh": bh,
+            "wo": wo, "bo": bo}
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+
+
+def _encode(x, F, phase, wm):
+    """[3, T] points -> [128, T] masked encoding (see module docstring)."""
+    P = jnp.dot(F, x, preferred_element_type=jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (WIDTH, 1), 0)
+    return jnp.where(row < 3, P, jnp.sin(P + phase)) * wm
+
+
+def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None):
+    """Returns (out [8, T], pre-activations list, h list) for backprop."""
+    pre1 = jnp.dot(w1, enc, preferred_element_type=jnp.float32) + b1
+    if lat is not None:
+        pre1 = pre1 + jnp.dot(w1l, lat, preferred_element_type=jnp.float32)
+    pres = [pre1]
+    h = jnp.maximum(pre1, 0.0)
+    hs = [h]
+    for l in range(wh.shape[0]):
+        pre = jnp.dot(wh[l], h, preferred_element_type=jnp.float32) + bh[l]
+        pres.append(pre)
+        h = jnp.maximum(pre, 0.0)
+        hs.append(h)
+    out = jnp.dot(wo, h, preferred_element_type=jnp.float32) + bo
+    return out, pres, hs
+
+
+def _fwd_kernel(n_hidden_s, n_hidden_t,
+                x_ref, lat_ref,
+                fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
+                ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
+                out_s, out_t):
+    x = x_ref[:]
+    enc_s = _encode(x, fs[:], phs[:], wms[:])
+    o_s, _, _ = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:], bos[:])
+    out_s[:] = o_s
+    enc_t = _encode(x, ft[:], pht[:], wmt[:])
+    o_t, _, _ = _mlp_forward(
+        enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:],
+        lat=lat_ref[:], w1l=w1lt[:],
+    )
+    out_t[:] = o_t
+
+
+def _field_bwd(g, enc, pres, hs, w1, wh, wo, lat=None, w1l=None):
+    """Backprop one field on a tile; returns grads + d_enc-free outputs."""
+    hL = hs[-1]
+    dwo = jax.lax.dot_general(g, hL, (((1,), (1,)), ((), ())))  # [8, 128]
+    dbo = jnp.sum(g, axis=1, keepdims=True)
+    dh = jax.lax.dot_general(wo, g, (((0,), (0,)), ((), ())))  # [128, T]
+    n_hidden = wh.shape[0]
+    dwh = []
+    dbh = []
+    for l in range(n_hidden - 1, -1, -1):
+        dpre = dh * (pres[l + 1] > 0)
+        dwh.append(jax.lax.dot_general(dpre, hs[l], (((1,), (1,)), ((), ()))))
+        dbh.append(jnp.sum(dpre, axis=1, keepdims=True))
+        dh = jax.lax.dot_general(wh[l], dpre, (((0,), (0,)), ((), ())))
+    dpre1 = dh * (pres[0] > 0)
+    dw1 = jax.lax.dot_general(dpre1, enc, (((1,), (1,)), ((), ())))
+    db1 = jnp.sum(dpre1, axis=1, keepdims=True)
+    out = {"wo": dwo, "bo": dbo, "w1": dw1, "b1": db1}
+    if n_hidden:
+        out["wh"] = jnp.stack(dwh[::-1])
+        out["bh"] = jnp.stack(dbh[::-1])
+    if lat is not None:
+        out["w1l"] = jax.lax.dot_general(dpre1, lat, (((1,), (1,)), ((), ())))
+        out["dlat"] = jax.lax.dot_general(w1l, dpre1, (((0,), (0,)), ((), ())))
+    return out
+
+
+def _bwd_kernel(n_hidden_s, n_hidden_t,
+                x_ref, lat_ref,
+                fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
+                ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
+                gs_ref, gt_ref,
+                dlat_ref,
+                dw1s_ref, db1s_ref, dwhs_ref, dbhs_ref, dwos_ref, dbos_ref,
+                dw1t_ref, dw1lt_ref, db1t_ref, dwht_ref, dbht_ref,
+                dwot_ref, dbot_ref):
+    x = x_ref[:]
+    lat = lat_ref[:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for ref in (dw1s_ref, db1s_ref, dwhs_ref, dbhs_ref, dwos_ref, dbos_ref,
+                    dw1t_ref, dw1lt_ref, db1t_ref, dwht_ref, dbht_ref,
+                    dwot_ref, dbot_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    # static field
+    enc_s = _encode(x, fs[:], phs[:], wms[:])
+    _, pres_s, hs_s = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:], bos[:])
+    g_s = _field_bwd(gs_ref[:], enc_s, pres_s, hs_s, w1s[:], whs[:], wos[:])
+    dw1s_ref[:] += g_s["w1"]
+    db1s_ref[:] += g_s["b1"]
+    if n_hidden_s:
+        dwhs_ref[:] += g_s["wh"]
+        dbhs_ref[:] += g_s["bh"]
+    dwos_ref[:] += g_s["wo"]
+    dbos_ref[:] += g_s["bo"]
+
+    # temporal field
+    enc_t = _encode(x, ft[:], pht[:], wmt[:])
+    _, pres_t, hs_t = _mlp_forward(
+        enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:], lat=lat, w1l=w1lt[:]
+    )
+    g_t = _field_bwd(
+        gt_ref[:], enc_t, pres_t, hs_t, w1t[:], wht[:], wot[:], lat=lat, w1l=w1lt[:]
+    )
+    dw1t_ref[:] += g_t["w1"]
+    dw1lt_ref[:] += g_t["w1l"]
+    db1t_ref[:] += g_t["b1"]
+    if n_hidden_t:
+        dwht_ref[:] += g_t["wh"]
+        dbht_ref[:] += g_t["bh"]
+    dwot_ref[:] += g_t["wo"]
+    dbot_ref[:] += g_t["bo"]
+    dlat_ref[:] = g_t["dlat"]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+
+
+def _rep(shape):
+    """Replicated (grid-invariant) full-array block."""
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _tiled(shape_prefix, tile):
+    return pl.BlockSpec((*shape_prefix, tile), lambda i: (*(0 for _ in shape_prefix), i),
+                        memory_space=pltpu.VMEM)
+
+
+def _pack_specs(pack, with_latent):
+    keys = ["F", "phase", "wm", "w1"] + (["w1l"] if with_latent else []) + [
+        "b1", "wh", "bh", "wo", "bo"
+    ]
+    return [_rep(pack[k].shape) for k in keys], [pack[k] for k in keys]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_core(x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile):
+    out_s, out_t = _fused_core_fwd_impl(
+        x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile
+    )
+    return out_s, out_t
+
+
+def _fused_core_fwd_impl(x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile):
+    n = x_t.shape[1]
+    grid = (n // tile,)
+    s_specs, s_vals = _pack_specs(s_pack, with_latent=False)
+    t_specs, t_vals = _pack_specs(t_pack, with_latent=True)
+    kernel = functools.partial(_fwd_kernel, n_hidden_s, n_hidden_t)
+    out_s, out_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_tiled((3,), tile), _tiled((OUT_PAD,), tile),
+                  *s_specs, *t_specs],
+        out_specs=[_tiled((OUT_PAD,), tile), _tiled((OUT_PAD,), tile)],
+        out_shape=[jax.ShapeDtypeStruct((OUT_PAD, n), jnp.float32)] * 2,
+        interpret=_INTERPRET,
+    )(x_t, lat_t, *s_vals, *t_vals)
+    return out_s, out_t
+
+
+def _fused_core_fwd(x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile):
+    outs = _fused_core_fwd_impl(
+        x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile
+    )
+    return outs, (x_t, lat_t, s_pack, t_pack)
+
+
+def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, residuals, gouts):
+    x_t, lat_t, s_pack, t_pack = residuals
+    g_s, g_t = gouts
+    n = x_t.shape[1]
+    grid = (n // tile,)
+    s_specs, s_vals = _pack_specs(s_pack, with_latent=False)
+    t_specs, t_vals = _pack_specs(t_pack, with_latent=True)
+
+    wh_s_shape = s_pack["wh"].shape
+    bh_s_shape = s_pack["bh"].shape
+    wh_t_shape = t_pack["wh"].shape
+    bh_t_shape = t_pack["bh"].shape
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((OUT_PAD, n), jnp.float32),  # dlat
+        jax.ShapeDtypeStruct((WIDTH, WIDTH), jnp.float32),  # dw1s
+        jax.ShapeDtypeStruct((WIDTH, 1), jnp.float32),  # db1s
+        jax.ShapeDtypeStruct(wh_s_shape, jnp.float32),
+        jax.ShapeDtypeStruct(bh_s_shape, jnp.float32),
+        jax.ShapeDtypeStruct((OUT_PAD, WIDTH), jnp.float32),  # dwos
+        jax.ShapeDtypeStruct((OUT_PAD, 1), jnp.float32),  # dbos
+        jax.ShapeDtypeStruct((WIDTH, WIDTH), jnp.float32),  # dw1t
+        jax.ShapeDtypeStruct((WIDTH, OUT_PAD), jnp.float32),  # dw1lt
+        jax.ShapeDtypeStruct((WIDTH, 1), jnp.float32),  # db1t
+        jax.ShapeDtypeStruct(wh_t_shape, jnp.float32),
+        jax.ShapeDtypeStruct(bh_t_shape, jnp.float32),
+        jax.ShapeDtypeStruct((OUT_PAD, WIDTH), jnp.float32),  # dwot
+        jax.ShapeDtypeStruct((OUT_PAD, 1), jnp.float32),  # dbot
+    ]
+    out_specs = [
+        _tiled((OUT_PAD,), tile),
+        _rep((WIDTH, WIDTH)),
+        _rep((WIDTH, 1)),
+        _rep(wh_s_shape),
+        _rep(bh_s_shape),
+        _rep((OUT_PAD, WIDTH)),
+        _rep((OUT_PAD, 1)),
+        _rep((WIDTH, WIDTH)),
+        _rep((WIDTH, OUT_PAD)),
+        _rep((WIDTH, 1)),
+        _rep(wh_t_shape),
+        _rep(bh_t_shape),
+        _rep((OUT_PAD, WIDTH)),
+        _rep((OUT_PAD, 1)),
+    ]
+    kernel = functools.partial(_bwd_kernel, n_hidden_s, n_hidden_t)
+    (dlat, dw1s, db1s, dwhs, dbhs, dwos, dbos,
+     dw1t, dw1lt, db1t, dwht, dbht, dwot, dbot) = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_tiled((3,), tile), _tiled((OUT_PAD,), tile),
+                  *s_specs, *t_specs,
+                  _tiled((OUT_PAD,), tile), _tiled((OUT_PAD,), tile)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_INTERPRET,
+    )(x_t, lat_t, *s_vals, *t_vals, g_s, g_t)
+
+    zero = jnp.zeros_like
+    ds_pack = {"F": zero(s_pack["F"]), "phase": zero(s_pack["phase"]),
+               "wm": zero(s_pack["wm"]), "w1": dw1s, "b1": db1s,
+               "wh": dwhs, "bh": dbhs, "wo": dwos, "bo": dbos}
+    dt_pack = {"F": zero(t_pack["F"]), "phase": zero(t_pack["phase"]),
+               "wm": zero(t_pack["wm"]), "w1": dw1t, "w1l": dw1lt,
+               "b1": db1t, "wh": dwht, "bh": dbht, "wo": dwot, "bo": dbot}
+    return jnp.zeros_like(x_t), dlat, ds_pack, dt_pack
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+
+
+def fused_composite_fields(
+    params_s,
+    params_t,
+    points,
+    point_phases,
+    cfg_s: FieldConfig,
+    cfg_t: FieldConfig,
+    window_s,
+    window_t,
+    tile: int = DEFAULT_TILE,
+):
+    """Drop-in fused replacement for the static+temporal field evaluation.
+
+    ``points [R, S, 3]``, ``point_phases [R, S]`` -> two ``[R, S, 1]`` raw
+    density tensors, matching ``apply_static_field``/``apply_temporal_field``
+    to float32 precision. Differentiable w.r.t. both param pytrees
+    (including the latent table).
+    """
+    if not (pallas_supported(cfg_s) and pallas_supported(cfg_t)):
+        raise ValueError("config not supported by the fused kernel")
+    r, s, _ = points.shape
+    n = r * s
+    pad = (-n) % tile
+    x = points.reshape(n, 3)
+    phases_flat = point_phases.reshape(n).astype(jnp.int32)
+    lat = params_t["latents"][phases_flat]  # [n, D] (differentiable gather)
+    d = lat.shape[-1]
+    lat_p = jnp.zeros((n, OUT_PAD), lat.dtype).at[:, :d].set(lat)
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)])
+        lat_p = jnp.concatenate([lat_p, jnp.zeros((pad, OUT_PAD), lat_p.dtype)])
+
+    s_pack = _pack_static(params_s, cfg_s, window_s)
+    t_pack = _pack_temporal(params_t, cfg_t, window_t)
+
+    out_s, out_t = _fused_core(
+        x.T, lat_p.T, s_pack, t_pack,
+        cfg_s.num_early_layers, cfg_t.num_early_layers, tile,
+    )
+    raw_s = out_s[0, :n].reshape(r, s, 1)
+    raw_t = out_t[0, :n].reshape(r, s, 1)
+    return raw_s, raw_t
+
+
+def fused_static_field(params, points, cfg: FieldConfig, window, tile: int = DEFAULT_TILE):
+    """Single-field fused evaluation (run_nerf path): ``[R, S, 3] ->
+    [R, S, 1]``. Reuses the composite kernel with a zero dummy temporal
+    field to keep one code path."""
+    if not pallas_supported(cfg):
+        raise ValueError("config not supported by the fused kernel")
+    dummy_cfg = cfg
+    # a zero temporal field: latents all zero, weights zero
+    zeros_lin = {"w": jnp.zeros((cfg.encoded_features + OUT_PAD, WIDTH)),
+                 "b": jnp.zeros(WIDTH)}
+    dummy = {
+        "early": [zeros_lin]
+        + [{"w": jnp.zeros((WIDTH, WIDTH)), "b": jnp.zeros(WIDTH)}
+           for _ in range(cfg.num_early_layers)],
+        "out": {"w": jnp.zeros((WIDTH, 1)), "b": jnp.zeros(1)},
+        "latents": jnp.zeros((10, OUT_PAD)),
+    }
+    import dataclasses
+
+    dummy_cfg = dataclasses.replace(cfg, use_time_latents=True, num_time_dim=OUT_PAD)
+    phases = jnp.zeros(points.shape[:2], jnp.int32)
+    raw_s, _ = fused_composite_fields(
+        params, dummy, points, phases, cfg, dummy_cfg, window, window, tile
+    )
+    return raw_s
