@@ -1,0 +1,146 @@
+"""Offline evaluation CLI: render held-out views from a checkpoint and
+score PSNR/SSIM.
+
+The reference ships only a commented-out ``compute_scores_static`` hook
+(``train/run_nerf.py:301``) and an ``evaluate.json`` view list the training
+code writes but never reads (``preprocess/datatoray.py:151-154``). This
+driver makes both real:
+
+    python -m nerfca_tpu.train.run_eval --config configs/composite.txt \
+        --resume_from cases/SYNTH/runs/<ts>/checkpoint
+
+Renders every frame in ``evaluate.json`` (composite + decomposed
+static/dynamic), writes per-view PNGs and an ``eval_scores.json`` with
+per-view and mean PSNR/SSIM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfca_tpu.data.dataset import dataset_paths
+from nerfca_tpu.data.loader import denormalize_image
+from nerfca_tpu.geometry.rays import detector_rays
+from nerfca_tpu.ops.sampling import linspace_depths
+from nerfca_tpu.train import evaluation
+from nerfca_tpu.train.checkpoint import load_checkpoint, load_field_configs
+from nerfca_tpu.train.config import parse_args
+from nerfca_tpu.train.trainer import (
+    composite_hparams_from_args,
+    field_configs_from_args,
+    _init_composite_state,
+)
+from nerfca_tpu.train.step import make_optimizer
+
+
+def evaluate_checkpoint(args) -> dict:
+    if not args.resume_from:
+        raise ValueError("--resume_from <checkpoint dir> is required")
+
+    paths = dataset_paths(args, args.data_root)
+    with open(paths.general) as f:
+        info = json.load(f)
+    with open(paths.evaluate) as f:
+        frames = json.load(f)["frames"]
+
+    # configs from checkpoint metadata when present, else from args
+    try:
+        cfgs = load_field_configs(args.resume_from)
+    except (OSError, KeyError):
+        cfgs = field_configs_from_args(args)
+    hp = composite_hparams_from_args(args)
+
+    tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
+    example = _init_composite_state(args, cfgs, tx)
+    state = load_checkpoint(args.resume_from, example)
+    step = int(state.step)
+
+    w, h = (int(v) for v in info["nDetector"])
+    depth_values = linspace_depths(
+        info["near_thresh"], info["far_thresh"], args.depth_samples_per_ray_coarse
+    )
+
+    out_dir = os.path.join(args.resume_from, "eval")
+    os.makedirs(out_dir, exist_ok=True)
+
+    scores = []
+    for frame in frames:
+        origins, dirs = detector_rays(frame["theta"], frame["phi"], frame["larm"], info)
+        gt = denormalize_image(
+            np.load(frame["file_path"]), w, h, frame["img_min_max"]
+        ).astype(np.float32)
+        render = evaluation.render_test_view(
+            state.params,
+            jnp.asarray(np.asarray(origins).reshape(-1, 3)),
+            jnp.asarray(np.asarray(dirs).reshape(-1, 3)),
+            jnp.full((w * h,), frame["heart_phase"], jnp.int32),
+            depth_values,
+            step,
+            cfgs,
+            hp,
+            info["max_pixel_value"],
+        )
+        pred = np.asarray(render["pix"]).reshape(w, h)
+        psnr = evaluation.image_psnr(pred, gt)
+        ssim = evaluation.image_ssim(
+            evaluation.normalize01(pred), evaluation.normalize01(gt)
+        )
+        scores.append(
+            {
+                "image_id_str": frame["image_id_str"],
+                "theta": frame["theta"],
+                "phi": frame["phi"],
+                "heart_phase": frame["heart_phase"],
+                "psnr": psnr,
+                "ssim": ssim,
+            }
+        )
+        for name, img in (
+            ("pred", pred),
+            ("static", np.asarray(render["pix_static"]).reshape(w, h)),
+            ("dynamic", np.asarray(render["pix_temp"]).reshape(w, h)),
+        ):
+            _save_png(
+                os.path.join(out_dir, f"{frame['image_id_str']}-{name}.png"),
+                evaluation.normalize01(img),
+            )
+        print(f"{frame['image_id_str']}: psnr={psnr:.3f} ssim={ssim:.4f}")
+
+    result = {
+        "step": step,
+        "per_view": scores,
+        "mean_psnr": float(np.mean([s["psnr"] for s in scores])),
+        "mean_ssim": float(np.mean([s["ssim"] for s in scores])),
+    }
+    with open(os.path.join(out_dir, "eval_scores.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(
+        f"mean over {len(scores)} views: psnr={result['mean_psnr']:.3f} "
+        f"ssim={result['mean_ssim']:.4f} -> {out_dir}/eval_scores.json"
+    )
+    return result
+
+
+def _save_png(path, img):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.imsave(path, img, cmap="gray")
+    except Exception:
+        pass
+
+
+def main(argv=None):
+    evaluate_checkpoint(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()
