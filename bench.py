@@ -27,8 +27,8 @@ import numpy as np
 # vs_baseline >= 10.
 PYTORCH_REFERENCE_RAYS_PER_SEC = 10240.0
 
-STEPS_PER_CHUNK = 50
-WARMUP_CHUNKS = 2
+STEPS_PER_CHUNK = 20
+WARMUP_CHUNKS = 1
 TIMED_CHUNKS = 5
 
 
@@ -56,6 +56,10 @@ def main() -> None:
 
     z = linspace_depths(3.6, 5.4, hp.depth_samples_coarse)
     train_step = make_composite_train_step(cfgs, hp, tx, z, 2.16)
+    # compile the single step FIRST: it warms the compilation cache so the
+    # scan-chunk compile that follows is fast even through a remote-compile
+    # tunnel with high per-graph latency.
+    single = jax.jit(train_step, donate_argnums=(0,))
     chunk = jax.jit(make_train_chunk(train_step, STEPS_PER_CHUNK), donate_argnums=(0,))
 
     n_rays = 200 * 200 * 40  # 40 images of 200^2 rays resident in HBM
@@ -66,6 +70,8 @@ def main() -> None:
     var_ids = jnp.arange(n_rays // 2, dtype=jnp.int32)
     non_var_ids = jnp.arange(n_rays // 2, n_rays, dtype=jnp.int32)
 
+    state, metrics = single(state, rays, phases, var_ids, non_var_ids)
+    jax.block_until_ready(metrics["train_loss"])
     for _ in range(WARMUP_CHUNKS):
         state, metrics = chunk(state, rays, phases, var_ids, non_var_ids)
     jax.block_until_ready(state.params)

@@ -167,68 +167,84 @@ def _encode(x, F, phase, wm):
     return jnp.where(row < 3, P, jnp.sin(P + phase)) * wm
 
 
-def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None):
+def _dot(a, b, dtype):
+    """Matmul in the compute dtype with f32 accumulation."""
+    return jnp.dot(a.astype(dtype), b.astype(dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None,
+                 dtype=jnp.float32):
     """Returns (out [8, T], pre-activations list, h list) for backprop."""
-    pre1 = jnp.dot(w1, enc, preferred_element_type=jnp.float32) + b1
+    pre1 = _dot(w1, enc, dtype) + b1
     if lat is not None:
-        pre1 = pre1 + jnp.dot(w1l, lat, preferred_element_type=jnp.float32)
+        pre1 = pre1 + _dot(w1l, lat, dtype)
     pres = [pre1]
     h = jnp.maximum(pre1, 0.0)
     hs = [h]
     for l in range(wh.shape[0]):
-        pre = jnp.dot(wh[l], h, preferred_element_type=jnp.float32) + bh[l]
+        pre = _dot(wh[l], h, dtype) + bh[l]
         pres.append(pre)
         h = jnp.maximum(pre, 0.0)
         hs.append(h)
-    out = jnp.dot(wo, h, preferred_element_type=jnp.float32) + bo
+    out = _dot(wo, h, dtype) + bo
     return out, pres, hs
 
 
-def _fwd_kernel(n_hidden_s, n_hidden_t,
+def _fwd_kernel(n_hidden_s, n_hidden_t, dtype,
                 x_ref, lat_ref,
                 fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                 ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
                 out_s, out_t):
     x = x_ref[:]
     enc_s = _encode(x, fs[:], phs[:], wms[:])
-    o_s, _, _ = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:], bos[:])
+    o_s, _, _ = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:],
+                             bos[:], dtype=dtype)
     out_s[:] = o_s
     enc_t = _encode(x, ft[:], pht[:], wmt[:])
     o_t, _, _ = _mlp_forward(
         enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:],
-        lat=lat_ref[:], w1l=w1lt[:],
+        lat=lat_ref[:], w1l=w1lt[:], dtype=dtype,
     )
     out_t[:] = o_t
 
 
-def _field_bwd(g, enc, pres, hs, w1, wh, wo, lat=None, w1l=None):
+def _dotg(a, b, dims, dtype):
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype), dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _field_bwd(g, enc, pres, hs, w1, wh, wo, lat=None, w1l=None,
+               dtype=jnp.float32):
     """Backprop one field on a tile; returns grads + d_enc-free outputs."""
+    ct = (((1,), (1,)), ((), ()))  # contract along T
+    cf = (((0,), (0,)), ((), ()))  # contract along features (transposed W)
     hL = hs[-1]
-    dwo = jax.lax.dot_general(g, hL, (((1,), (1,)), ((), ())))  # [8, 128]
+    dwo = _dotg(g, hL, ct, dtype)  # [8, 128]
     dbo = jnp.sum(g, axis=1, keepdims=True)
-    dh = jax.lax.dot_general(wo, g, (((0,), (0,)), ((), ())))  # [128, T]
+    dh = _dotg(wo, g, cf, dtype)  # [128, T]
     n_hidden = wh.shape[0]
     dwh = []
     dbh = []
     for l in range(n_hidden - 1, -1, -1):
         dpre = dh * (pres[l + 1] > 0)
-        dwh.append(jax.lax.dot_general(dpre, hs[l], (((1,), (1,)), ((), ()))))
+        dwh.append(_dotg(dpre, hs[l], ct, dtype))
         dbh.append(jnp.sum(dpre, axis=1, keepdims=True))
-        dh = jax.lax.dot_general(wh[l], dpre, (((0,), (0,)), ((), ())))
+        dh = _dotg(wh[l], dpre, cf, dtype)
     dpre1 = dh * (pres[0] > 0)
-    dw1 = jax.lax.dot_general(dpre1, enc, (((1,), (1,)), ((), ())))
+    dw1 = _dotg(dpre1, enc, ct, dtype)
     db1 = jnp.sum(dpre1, axis=1, keepdims=True)
     out = {"wo": dwo, "bo": dbo, "w1": dw1, "b1": db1}
     if n_hidden:
         out["wh"] = jnp.stack(dwh[::-1])
         out["bh"] = jnp.stack(dbh[::-1])
     if lat is not None:
-        out["w1l"] = jax.lax.dot_general(dpre1, lat, (((1,), (1,)), ((), ())))
-        out["dlat"] = jax.lax.dot_general(w1l, dpre1, (((0,), (0,)), ((), ())))
+        out["w1l"] = _dotg(dpre1, lat, ct, dtype)
+        out["dlat"] = _dotg(w1l, dpre1, cf, dtype)
     return out
 
 
-def _bwd_kernel(n_hidden_s, n_hidden_t,
+def _bwd_kernel(n_hidden_s, n_hidden_t, dtype,
                 x_ref, lat_ref,
                 fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                 ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
@@ -249,8 +265,10 @@ def _bwd_kernel(n_hidden_s, n_hidden_t,
 
     # static field
     enc_s = _encode(x, fs[:], phs[:], wms[:])
-    _, pres_s, hs_s = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:], bos[:])
-    g_s = _field_bwd(gs_ref[:], enc_s, pres_s, hs_s, w1s[:], whs[:], wos[:])
+    _, pres_s, hs_s = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:],
+                                   wos[:], bos[:], dtype=dtype)
+    g_s = _field_bwd(gs_ref[:], enc_s, pres_s, hs_s, w1s[:], whs[:], wos[:],
+                     dtype=dtype)
     dw1s_ref[:] += g_s["w1"]
     db1s_ref[:] += g_s["b1"]
     if n_hidden_s:
@@ -262,10 +280,12 @@ def _bwd_kernel(n_hidden_s, n_hidden_t,
     # temporal field
     enc_t = _encode(x, ft[:], pht[:], wmt[:])
     _, pres_t, hs_t = _mlp_forward(
-        enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:], lat=lat, w1l=w1lt[:]
+        enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:], lat=lat,
+        w1l=w1lt[:], dtype=dtype,
     )
     g_t = _field_bwd(
-        gt_ref[:], enc_t, pres_t, hs_t, w1t[:], wht[:], wot[:], lat=lat, w1l=w1lt[:]
+        gt_ref[:], enc_t, pres_t, hs_t, w1t[:], wht[:], wot[:], lat=lat,
+        w1l=w1lt[:], dtype=dtype,
     )
     dw1t_ref[:] += g_t["w1"]
     dw1lt_ref[:] += g_t["w1l"]
@@ -300,20 +320,26 @@ def _pack_specs(pack, with_latent):
     return [_rep(pack[k].shape) for k in keys], [pack[k] for k in keys]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _fused_core(x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_core(x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name):
     out_s, out_t = _fused_core_fwd_impl(
-        x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile
+        x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name
     )
     return out_s, out_t
 
 
-def _fused_core_fwd_impl(x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile):
+def _dtype_from_name(name):
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
+def _fused_core_fwd_impl(x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t,
+                         tile, dtype_name):
     n = x_t.shape[1]
     grid = (n // tile,)
     s_specs, s_vals = _pack_specs(s_pack, with_latent=False)
     t_specs, t_vals = _pack_specs(t_pack, with_latent=True)
-    kernel = functools.partial(_fwd_kernel, n_hidden_s, n_hidden_t)
+    kernel = functools.partial(_fwd_kernel, n_hidden_s, n_hidden_t,
+                               _dtype_from_name(dtype_name))
     out_s, out_t = pl.pallas_call(
         kernel,
         grid=grid,
@@ -326,14 +352,15 @@ def _fused_core_fwd_impl(x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, til
     return out_s, out_t
 
 
-def _fused_core_fwd(x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile):
+def _fused_core_fwd(x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t,
+                    tile, dtype_name):
     outs = _fused_core_fwd_impl(
-        x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile
+        x_t, lat_t, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name
     )
     return outs, (x_t, lat_t, s_pack, t_pack)
 
 
-def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, residuals, gouts):
+def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, residuals, gouts):
     x_t, lat_t, s_pack, t_pack = residuals
     g_s, g_t = gouts
     n = x_t.shape[1]
@@ -378,7 +405,8 @@ def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, residuals, gouts):
         _rep((OUT_PAD, WIDTH)),
         _rep((OUT_PAD, 1)),
     ]
-    kernel = functools.partial(_bwd_kernel, n_hidden_s, n_hidden_t)
+    kernel = functools.partial(_bwd_kernel, n_hidden_s, n_hidden_t,
+                               _dtype_from_name(dtype_name))
     (dlat, dw1s, db1s, dwhs, dbhs, dwos, dbos,
      dw1t, dw1lt, db1t, dwht, dbht, dwot, dbot) = pl.pallas_call(
         kernel,
@@ -418,6 +446,7 @@ def fused_composite_fields(
     window_s,
     window_t,
     tile: int = DEFAULT_TILE,
+    compute_dtype: str = "float32",
 ):
     """Drop-in fused replacement for the static+temporal field evaluation.
 
@@ -445,7 +474,7 @@ def fused_composite_fields(
 
     out_s, out_t = _fused_core(
         x.T, lat_p.T, s_pack, t_pack,
-        cfg_s.num_early_layers, cfg_t.num_early_layers, tile,
+        cfg_s.num_early_layers, cfg_t.num_early_layers, tile, compute_dtype,
     )
     raw_s = out_s[0, :n].reshape(r, s, 1)
     raw_t = out_t[0, :n].reshape(r, s, 1)

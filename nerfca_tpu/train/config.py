@@ -165,6 +165,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh, e.g. '4' or '2x4' (None = all devices)")
     p.add_argument("--use_pallas", type=_bool, default=False,
                    help="use the fused Pallas field kernel on TPU")
+    p.add_argument("--pallas_tile", type=int, default=512,
+                   help="points per tile in the fused Pallas kernel")
     p.add_argument("--steps_per_chunk", type=int, default=None,
                    help="train steps per jitted scan chunk (default: log_every)")
     p.add_argument("--resume_from", type=str, default=None,

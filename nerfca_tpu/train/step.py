@@ -87,6 +87,7 @@ class CompositeHParams:
     occl_reg_perc: float = 0.1
     compute_dtype: str = "float32"
     use_pallas: bool = False
+    pallas_tile: int = 512
 
     @property
     def dtype(self):
@@ -175,6 +176,8 @@ def evaluate_composite(
             temp_cfg,
             windows["static"],
             windows["temp"],
+            tile=hp.pallas_tile,
+            compute_dtype=hp.compute_dtype,
         )
     static_raw = apply_static_field(
         params["static" + suffix], points, static_cfg,

@@ -121,6 +121,7 @@ def composite_hparams_from_args(args) -> CompositeHParams:
         occl_reg_perc=args.occl_reg_perc,
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
+        pallas_tile=args.pallas_tile,
     )
 
 
