@@ -1,0 +1,30 @@
+"""Offline evaluation CLI test: train tiny -> evaluate checkpoint."""
+
+import json
+import os
+
+import numpy as np
+
+from nerfca_tpu.train.config import parse_args
+from nerfca_tpu.train.run_eval import evaluate_checkpoint
+from nerfca_tpu.train.trainer import train_composite
+from tests.test_trainer_integration import tiny_argv
+
+
+def test_eval_from_checkpoint(tmp_path):
+    args = parse_args(tiny_argv(tmp_path) + ["--n_iters", "40", "--save_every", "40",
+                                             "--display_every", "40"])
+    out = train_composite(args)
+    ckpt = os.path.join(out["log_dir"], "checkpoint")
+
+    eval_args = parse_args(tiny_argv(tmp_path) + ["--resume_from", ckpt])
+    result = evaluate_checkpoint(eval_args)
+
+    assert result["step"] == 41
+    assert len(result["per_view"]) >= 1
+    assert np.isfinite(result["mean_psnr"])
+    assert -1.0 <= result["mean_ssim"] <= 1.0
+    scores_path = os.path.join(ckpt, "eval", "eval_scores.json")
+    assert os.path.isfile(scores_path)
+    saved = json.load(open(scores_path))
+    assert saved["mean_psnr"] == result["mean_psnr"]
