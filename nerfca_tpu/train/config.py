@@ -179,6 +179,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for the first N steps")
+    p.add_argument("--render_views", type=str, default="",
+                   help="semicolon-separated theta,phi,phase triplets (run_render)")
+    p.add_argument("--render_spin", type=int, default=0,
+                   help="render N cine views sweeping theta (run_render)")
     return p
 
 
