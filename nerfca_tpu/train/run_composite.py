@@ -36,7 +36,12 @@ def main(argv=None):
         return
 
     if args.debug_mode:
+        # debug wrapper + NaN guard: the reference's try/except traceback
+        # (run_composite.py:26-34) plus device-side non-finite detection
         print("DEBUG MODE ON")
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
         try:
             train_composite(args)
         except Exception:

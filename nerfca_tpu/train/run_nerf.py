@@ -32,6 +32,9 @@ def main(argv=None):
 
     if args.debug_mode:
         print("DEBUG MODE ON")
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
         try:
             train_static(args)
         except Exception:

@@ -18,6 +18,7 @@ Reference parity: ``train/run_composite.py:41-461`` and
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Optional
@@ -83,8 +84,6 @@ def field_configs_from_args(args) -> dict[str, FieldConfig]:
     )
     cfgs = {"static": static, "temp": temp}
     if args.depth_samples_per_ray_fine > 0:
-        import dataclasses
-
         cfgs["static_fine"] = dataclasses.replace(
             static, num_filters=args.static_num_filters_fine
         )
@@ -201,7 +200,7 @@ def prepare_composite(args, mesh=None):
     var_ids, non_var_ids = _variance_ray_split(data.rays, args.var_sample_thre)
     hp = composite_hparams_from_args(args)
     if hp.nb_var_rays > 0 and len(var_ids) == 0:
-        hp = __import__("dataclasses").replace(hp, nb_var_rays=0)
+        hp = dataclasses.replace(hp, nb_var_rays=0)
 
     cfgs = field_configs_from_args(args)
     tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
@@ -426,7 +425,7 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
     var_ids, non_var_ids = _variance_ray_split(data.rays, args.var_sample_thre)
     hp = static_hparams_from_args(args)
     if hp.nb_var_rays > 0 and len(var_ids) == 0:
-        hp = __import__("dataclasses").replace(hp, nb_var_rays=0)
+        hp = dataclasses.replace(hp, nb_var_rays=0)
 
     cfg = field_configs_from_args(args)["static"]
     tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
