@@ -155,11 +155,16 @@ def _dotg(a, b, dims, dtype):
                                preferred_element_type=jnp.float32)
 
 
-def _encode(x, F, phase, wm):
-    """[T, 3] points -> [T, 128] masked encoding (see module docstring)."""
+def _encode_base(x, F, phase):
+    """[T, 3] points -> [T, 128] unmasked encoding (raw lanes + sin/cos)."""
     P = jnp.dot(x, F, preferred_element_type=jnp.float32)  # [T, 128]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, WIDTH), 1)
-    return jnp.where(lane < 3, P, jnp.sin(P + phase)) * wm
+    return jnp.where(lane < 3, P, jnp.sin(P + phase))
+
+
+def _encode(x, F, phase, wm):
+    """Masked encoding for one field."""
+    return _encode_base(x, F, phase) * wm
 
 
 def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None,
@@ -180,17 +185,29 @@ def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None,
     return out, pres, hs
 
 
-def _fwd_kernel(n_hidden_s, n_hidden_t, dtype,
+def _both_encodings(x, fs, phs, wms, ft, pht, wmt, share_enc):
+    """Encodings for both fields; when they share (F, phase) — same basis
+    and mode, the flagship case — the expensive sin pass runs ONCE and only
+    the per-field window masks differ (the sin is VPU-bound and dominates
+    the forward kernel)."""
+    if share_enc:
+        base = _encode_base(x, fs, phs)
+        return base * wms, base * wmt
+    return _encode(x, fs, phs, wms), _encode(x, ft, pht, wmt)
+
+
+def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc,
                 x_ref, lat_ref,
                 fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                 ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
                 out_s, out_t):
     x = x_ref[:]
-    enc_s = _encode(x, fs[:], phs[:], wms[:])
+    enc_s, enc_t = _both_encodings(
+        x, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc
+    )
     o_s, _, _ = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:],
                              bos[:], dtype=dtype)
     out_s[:] = o_s
-    enc_t = _encode(x, ft[:], pht[:], wmt[:])
     o_t, _, _ = _mlp_forward(
         enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:],
         lat=lat_ref[:], w1l=w1lt[:], dtype=dtype,
@@ -228,7 +245,7 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
     return out
 
 
-def _bwd_kernel(n_hidden_s, n_hidden_t, dtype,
+def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc,
                 x_ref, lat_ref,
                 fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                 ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
@@ -247,8 +264,12 @@ def _bwd_kernel(n_hidden_s, n_hidden_t, dtype,
                     dwot_ref, dbot_ref):
             ref[:] = jnp.zeros_like(ref)
 
+    # recompute both encodings (shared sin pass when eligible)
+    enc_s, enc_t = _both_encodings(
+        x, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc
+    )
+
     # static field: recompute forward, then backprop
-    enc_s = _encode(x, fs[:], phs[:], wms[:])
     _, pres_s, hs_s = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:],
                                    wos[:], bos[:], dtype=dtype)
     g_s = _field_bwd(gs_ref[:], enc_s, pres_s, hs_s, whs[:], wos[:],
@@ -262,7 +283,6 @@ def _bwd_kernel(n_hidden_s, n_hidden_t, dtype,
     dbos_ref[:] += g_s["bo"]
 
     # temporal field
-    enc_t = _encode(x, ft[:], pht[:], wmt[:])
     _, pres_t, hs_t = _mlp_forward(
         enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:], lat=lat,
         w1l=w1lt[:], dtype=dtype,
@@ -309,21 +329,23 @@ def _dtype_from_name(name):
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _fused_core(x, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused_core(x, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile,
+                dtype_name, share_enc):
     return _fused_core_fwd_impl(
-        x, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name
+        x, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name,
+        share_enc,
     )
 
 
 def _fused_core_fwd_impl(x, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
-                         tile, dtype_name):
+                         tile, dtype_name, share_enc):
     n = x.shape[0]
     grid = (n // tile,)
     s_specs, s_vals = _pack_specs(s_pack, with_latent=False)
     t_specs, t_vals = _pack_specs(t_pack, with_latent=True)
     kernel = functools.partial(_fwd_kernel, n_hidden_s, n_hidden_t,
-                               _dtype_from_name(dtype_name))
+                               _dtype_from_name(dtype_name), share_enc)
     out_s, out_t = pl.pallas_call(
         kernel,
         grid=grid,
@@ -339,14 +361,16 @@ def _fused_core_fwd_impl(x, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
 
 
 def _fused_core_fwd(x, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
-                    tile, dtype_name):
+                    tile, dtype_name, share_enc):
     outs = _fused_core_fwd_impl(
-        x, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name
+        x, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name,
+        share_enc,
     )
     return outs, (x, lat, s_pack, t_pack)
 
 
-def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, residuals, gouts):
+def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, share_enc,
+                    residuals, gouts):
     x, lat, s_pack, t_pack = residuals
     g_s, g_t = gouts
     n = x.shape[0]
@@ -392,7 +416,7 @@ def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, residuals, gouts):
         _rep((1, OUT_PAD)),
     ]
     kernel = functools.partial(_bwd_kernel, n_hidden_s, n_hidden_t,
-                               _dtype_from_name(dtype_name))
+                               _dtype_from_name(dtype_name), share_enc)
     (dlat, dw1s, db1s, dwhs, dbhs, dwos, dbos,
      dw1t, dw1lt, db1t, dwht, dbht, dwot, dbot) = pl.pallas_call(
         kernel,
@@ -462,9 +486,14 @@ def fused_composite_fields(
     s_pack = _pack_static(params_s, cfg_s, window_s)
     t_pack = _pack_temporal(params_t, cfg_t, window_t)
 
+    share_enc = (
+        cfg_s.pos_enc_basis == cfg_t.pos_enc_basis
+        and (cfg_s.pos_enc == "none") == (cfg_t.pos_enc == "none")
+    )
     out_s, out_t = _fused_core(
         x, lat_p, s_pack, t_pack,
         cfg_s.num_early_layers, cfg_t.num_early_layers, tile, compute_dtype,
+        share_enc,
     )
     raw_s = out_s[:n, 0].reshape(r, s, 1)
     raw_t = out_t[:n, 0].reshape(r, s, 1)
