@@ -40,6 +40,7 @@ from nerfca_tpu.train import evaluation
 from nerfca_tpu.train.checkpoint import save_checkpoint, load_checkpoint
 from nerfca_tpu.train.config import parse_args
 from nerfca_tpu.train.logging import MetricsLogger, make_log_dir
+from nerfca_tpu.utils.profiling import enable_compilation_cache
 from nerfca_tpu.train.step import (
     CompositeHParams,
     StaticHParams,
@@ -183,6 +184,7 @@ def prepare_composite(args, mesh=None):
     """Everything up to (but not including) the train loop: dataset, device
     arrays, state, jitted chunk. Shared by the driver, benchmarks, and the
     multichip dry run."""
+    enable_compilation_cache()
     paths = dataset_paths(args, args.data_root)
     if not os.path.isfile(paths.general) or not os.path.isfile(paths.train):
         build_dataset(args, args.data_root)

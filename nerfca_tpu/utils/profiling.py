@@ -12,6 +12,7 @@ logged as ``train_time`` (``run_composite.py:231,336``). Here:
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Optional
 
@@ -55,6 +56,20 @@ class StepTimer:
             "steps_per_sec": sps,
             "rays_per_sec": sps * self.rays_per_step,
         }
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persistent on-disk compilation cache. Compiles through a
+    remote-compile TPU tunnel cost minutes; caching them makes repeat runs
+    (re-launches, resumes, benchmarks) near-instant."""
+    if cache_dir is None:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        cache_dir = os.path.join(repo, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 @contextlib.contextmanager
