@@ -134,6 +134,62 @@ def render_test_view(
     }
 
 
+def render_static_test_view(
+    params,
+    test_origins,
+    test_directions,
+    depth_values,
+    step,
+    cfg,
+    hp,
+    initial_intensity: float,
+    tile: int = 4096,
+):
+    """Single-field full-image render for the static (run_nerf) method
+    (``run_nerf.py:254-287``). Returns the flattened intensity map and the
+    unscaled sigma for the occlusion metric."""
+    import dataclasses
+
+    from nerfca_tpu.models.fields import FieldConfig
+    from nerfca_tpu.train.step import CompositeHParams
+
+    # reuse the composite tile renderer with a dummy zero temporal field
+    dummy_cfg = dataclasses.replace(
+        cfg, use_time_latents=True, num_time_dim=8
+    )
+    dummy = {
+        "early": [{"w": jnp.zeros((cfg.encoded_features + 8, cfg.num_filters)),
+                   "b": jnp.zeros(cfg.num_filters)}],
+        "out": {"w": jnp.zeros((cfg.num_filters, 1)), "b": jnp.zeros(1)},
+        "latents": jnp.zeros((10, 8)),
+    }
+    comp_hp = CompositeHParams(
+        img_sample_size=hp.img_sample_size,
+        depth_samples_coarse=hp.depth_samples_coarse,
+        output_activation=hp.output_activation,
+        occl_reg_perc=hp.occl_reg_perc,
+        compute_dtype=hp.compute_dtype,
+    )
+    cfgs = {"static": cfg, "temp": dataclasses.replace(dummy_cfg, num_early_layers=0)}
+    params2 = {"static": params["static"], "temp": dummy}
+    n = test_origins.shape[0]
+    render = render_test_view(
+        params2,
+        test_origins,
+        test_directions,
+        jnp.zeros((n,), jnp.int32),
+        depth_values,
+        step,
+        cfgs,
+        comp_hp,
+        initial_intensity,
+        tile=tile,
+    )
+    # single-field semantics: pix_static is the render through the
+    # single-field renderer (unscaled-sigma quirk preserved there)
+    return render
+
+
 def test_metrics(
     render: dict,
     test_img_flat,

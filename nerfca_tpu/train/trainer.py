@@ -449,6 +449,9 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
         else jnp.zeros(1, jnp.int32),
     }
 
+    test_view = _setup_test_view(data, args)
+    test_depths = stratify_depths(jax.random.PRNGKey(args.seed + 1), depth_values)
+
     n_total = (max_steps if max_steps is not None else args.n_iters) + 1
     step = 0
     t_start = time.time()
@@ -471,6 +474,44 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
                 rec["train_time"] = chunk_time / n_now
                 logger.log(rec, step=s)
         step += n_now
+
+        # in-loop test render (run_nerf.py:254-287)
+        if test_view is not None and step % args.display_every == 0:
+            render = evaluation.render_static_test_view(
+                state.params,
+                test_view["origins"],
+                test_view["directions"],
+                test_depths,
+                step,
+                cfg,
+                hp,
+                max_pixel_value,
+            )
+            w, h = test_view["shape"]
+            gt = np.asarray(test_view["image"])
+            pred = np.asarray(render["pix_static"])
+            pixel_loss = float(np.mean((pred - gt) ** 2))
+            tm = {
+                "test_pixel_loss": pixel_loss,
+                "test_psnr": float(-10 * np.log10(pixel_loss)) if pixel_loss > 0 else float("inf"),
+                "test_image_psnr": evaluation.image_psnr(
+                    pred.reshape(w, h), gt.reshape(w, h)
+                ),
+            }
+            logger.log(tm, step=step)
+            norm = evaluation.normalize01
+            logger.log_images(
+                {
+                    "prediction": norm(pred.reshape(w, h)),
+                    "original": norm(gt.reshape(w, h)),
+                    "difference": np.abs(
+                        norm(pred.reshape(w, h)) - norm(gt.reshape(w, h))
+                    ),
+                },
+                step,
+            )
+            print(f"step {step}: test_psnr={tm['test_psnr']:.3f}")
+
         if step % args.save_every == 0 or step >= n_total:
             save_checkpoint(
                 os.path.join(log_dir, "checkpoint"),
