@@ -10,7 +10,7 @@ VTK/pyvista — with no dependency beyond numpy.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -31,7 +31,7 @@ The reference's dormant "model understanding API"
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

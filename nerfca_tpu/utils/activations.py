@@ -9,7 +9,7 @@ activation, without mutating any module state.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax.numpy as jnp
 
