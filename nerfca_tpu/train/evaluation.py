@@ -229,8 +229,12 @@ def test_metrics(
         "test_image_psnr": image_psnr(pred, gt),
     }
     if img_shape is not None:
+        # SSIM on the ground truth's intensity scale for both images
+        lo, hi = float(gt.min()), float(gt.max())
+        scale = (hi - lo) or 1.0
         out["test_image_ssim"] = image_ssim(
-            normalize01(pred.reshape(img_shape)), normalize01(gt.reshape(img_shape))
+            (pred.reshape(img_shape) - lo) / scale,
+            (gt.reshape(img_shape) - lo) / scale,
         )
     return out
 
@@ -243,13 +247,17 @@ def normalize01(img: np.ndarray) -> np.ndarray:
 
 
 def image_psnr(pred: np.ndarray, gt: np.ndarray) -> float:
-    """PSNR over normalized [0, 1] images (pure MSE, not the regularized
-    quirk metric)."""
-    p, g = normalize01(pred), normalize01(gt)
-    mse = float(np.mean((p - g) ** 2))
+    """Standard data-range PSNR: ``10 log10(range(gt)^2 / MSE)`` on the raw
+    values (pure MSE, not the reference's regularized quirk metric).
+    Normalizing each image independently would let a single outlier pixel
+    rescale the prediction and distort the score."""
+    mse = float(np.mean((np.asarray(pred) - np.asarray(gt)) ** 2))
     if mse == 0:
         return float("inf")
-    return float(-10.0 * np.log10(mse))
+    data_range = float(np.max(gt) - np.min(gt))
+    if data_range == 0:
+        return float("-inf")
+    return float(10.0 * np.log10(data_range**2 / mse))
 
 
 def image_ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:

@@ -87,9 +87,9 @@ def evaluate_checkpoint(args) -> dict:
         )
         pred = np.asarray(render["pix"]).reshape(w, h)
         psnr = evaluation.image_psnr(pred, gt)
-        ssim = evaluation.image_ssim(
-            evaluation.normalize01(pred), evaluation.normalize01(gt)
-        )
+        lo, hi = float(gt.min()), float(gt.max())
+        scale = (hi - lo) or 1.0
+        ssim = evaluation.image_ssim((pred - lo) / scale, (gt - lo) / scale)
         scores.append(
             {
                 "image_id_str": frame["image_id_str"],
