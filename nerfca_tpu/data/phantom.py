@@ -46,6 +46,7 @@ def synthetic_phantom_volume(
     bone_val: float = 0.55,
     vessel_radius: float = 0.045,
     seed: int = 0,
+    smooth_sigma: float = 1.0,
 ) -> np.ndarray:
     """One ``[size, size, size]`` float32 attenuation volume at cardiac
     ``phase`` in [0, 1).
@@ -84,6 +85,15 @@ def synthetic_phantom_volume(
     # taper the radius along the tree
     vessel = min_d2 < vessel_radius**2
     vol = np.where(vessel, np.float32(lca_val), vol)
+
+    if smooth_sigma > 0:
+        # soften the binary edges: real anatomy (XCAT/CCTA volumes) has
+        # smooth attenuation transitions, and a coordinate MLP cannot
+        # represent hard discontinuities — unsmoothed edges put an
+        # irreducible floor under reconstruction error
+        from scipy.ndimage import gaussian_filter
+
+        vol = gaussian_filter(vol, sigma=smooth_sigma).astype(np.float32)
 
     return vol
 
