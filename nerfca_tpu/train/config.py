@@ -183,6 +183,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="semicolon-separated theta,phi,phase triplets (run_render)")
     p.add_argument("--render_spin", type=int, default=0,
                    help="render N cine views sweeping theta (run_render)")
+    p.add_argument("--regenerate_data", type=_bool, default=False,
+                   help="rebuild the dataset even when artifacts exist "
+                        "(the reference regenerates unconditionally)")
     return p
 
 

@@ -186,13 +186,15 @@ def prepare_composite(args, mesh=None):
     multichip dry run."""
     enable_compilation_cache()
     paths = dataset_paths(args, args.data_root)
-    if not os.path.isfile(paths.general) or not os.path.isfile(paths.train):
+    # the reference regenerates unconditionally (run_composite.py:62-63);
+    # we skip when artifacts exist unless --regenerate_data asks otherwise
+    if (
+        not os.path.isfile(paths.general)
+        or not os.path.isfile(paths.train)
+        or getattr(args, "regenerate_data", False)
+        or getattr(args, "only_prepare_data", False)
+    ):
         build_dataset(args, args.data_root)
-    else:
-        # reference regenerates unconditionally (run_composite.py:62-63);
-        # we skip when artifacts exist unless asked
-        if getattr(args, "only_prepare_data", False):
-            build_dataset(args, args.data_root)
 
     data = load_dataset(paths, args.weighted_loss_max, use_weighting=True)
     info = data.info
@@ -415,7 +417,11 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
     logger = MetricsLogger(log_dir, use_wandb=args.use_wandb, config=vars(args))
 
     paths = dataset_paths(args, args.data_root)
-    if not os.path.isfile(paths.general) or not os.path.isfile(paths.train):
+    if (
+        not os.path.isfile(paths.general)
+        or not os.path.isfile(paths.train)
+        or getattr(args, "regenerate_data", False)
+    ):
         build_dataset(args, args.data_root)
     data = load_dataset(
         paths, args.weighted_loss_max, use_weighting=(args.var_sample_perc > 0)
