@@ -476,9 +476,21 @@ def fused_composite_fields(
     pad = (-n) % tile
     x = jax.lax.stop_gradient(points.reshape(n, 3))
     phases_flat = point_phases.reshape(n).astype(jnp.int32)
-    lat = params_t["latents"][phases_flat]  # [n, D] (differentiable gather)
+    # latent lookup as a one-hot matmul: the reverse pass becomes a thin
+    # [P, n] x [n, D] MXU matmul instead of a 512k-row scatter-add, which
+    # XLA lowers very poorly on TPU
+    onehot = jax.nn.one_hot(
+        phases_flat, params_t["latents"].shape[0], dtype=jnp.float32
+    )
+    lat = onehot @ params_t["latents"]  # [n, D], differentiable
     d = lat.shape[-1]
-    lat_p = jnp.zeros((n, OUT_PAD), lat.dtype).at[:, :d].set(lat)
+    # profiling showed the unconditional pad costs ~2 ms/step in HBM copies;
+    # the flagship num_time_dim == OUT_PAD so it is usually an identity
+    lat_p = (
+        lat
+        if d == OUT_PAD
+        else jnp.zeros((n, OUT_PAD), lat.dtype).at[:, :d].set(lat)
+    )
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)])
         lat_p = jnp.concatenate([lat_p, jnp.zeros((pad, OUT_PAD), lat_p.dtype)])
