@@ -122,3 +122,15 @@ def test_2d_mesh_train_and_render_compose():
     dummy = jnp.zeros(1, jnp.int32)
     state, m = chunk(state, rays, phases, dummy, dummy)
     assert np.isfinite(np.asarray(m["train_loss"])).all()
+
+
+def test_multihost_helpers_single_process():
+    from nerfca_tpu.parallel.multihost import initialize, shard_sweep
+
+    info = initialize()
+    assert info["process_count"] >= 1
+    grid = list(range(7))
+    assert shard_sweep(grid, process_id=0, process_count=2) == [0, 2, 4, 6]
+    assert shard_sweep(grid, process_id=1, process_count=2) == [1, 3, 5]
+    # this process gets everything in single-process mode
+    assert shard_sweep(grid) == grid
