@@ -165,8 +165,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh, e.g. '4' or '2x4' (None = all devices)")
     p.add_argument("--use_pallas", type=_bool, default=False,
                    help="use the fused Pallas field kernel on TPU")
-    p.add_argument("--pallas_tile", type=int, default=512,
-                   help="points per tile in the fused Pallas kernel")
+    p.add_argument("--pallas_tile", type=int, default=1024,
+                   help="points per tile in the fused Pallas kernel "
+                        "(compiled TPU path needs a multiple of 1024 to "
+                        "match XLA's 1-D f32 layout tiling)")
     p.add_argument("--steps_per_chunk", type=int, default=None,
                    help="train steps per jitted scan chunk (default: log_every)")
     p.add_argument("--resume_from", type=str, default=None,

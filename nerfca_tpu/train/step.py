@@ -87,7 +87,7 @@ class CompositeHParams:
     occl_reg_perc: float = 0.1
     compute_dtype: str = "float32"
     use_pallas: bool = False
-    pallas_tile: int = 512
+    pallas_tile: int = 1024
 
     @property
     def dtype(self):
