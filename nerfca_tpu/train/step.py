@@ -206,14 +206,27 @@ def composite_forward(
     """
     origins, dirs = batch["origins"], batch["directions"]
     i0 = batch["initial_intensities"]
-    pts = origins[:, None, :] + dirs[:, None, :] * depth_values[:, None]
-    point_phases = jnp.broadcast_to(
-        batch["phases"][:, None], pts.shape[:2]
-    ).astype(jnp.int32)
+    n_rays = origins.shape[0]
+    if hp.use_pallas:
+        # ray-form fused path: never materializes [R*S, 3] points (TPU pads
+        # minor-dim-3 arrays 42x; see the kernel module docstring)
+        from nerfca_tpu.ops.pallas.fused_field import fused_composite_fields_rays
 
-    static_raw, temp_raw = evaluate_composite(
-        params, pts, point_phases, cfgs, windows, hp
-    )
+        z_rs = jnp.broadcast_to(depth_values, (n_rays, depth_values.shape[0]))
+        static_raw, temp_raw = fused_composite_fields_rays(
+            params["static"], params["temp"], origins, dirs, z_rs,
+            batch["phases"], cfgs["static"], cfgs["temp"],
+            windows["static"], windows["temp"],
+            tile=hp.pallas_tile, compute_dtype=hp.compute_dtype,
+        )
+    else:
+        pts = origins[:, None, :] + dirs[:, None, :] * depth_values[:, None]
+        point_phases = jnp.broadcast_to(
+            batch["phases"][:, None], pts.shape[:2]
+        ).astype(jnp.int32)
+        static_raw, temp_raw = evaluate_composite(
+            params, pts, point_phases, cfgs, windows, hp
+        )
     pix_c, s_sig_c, t_sig_c, dists_c = render_transmission_composite(
         static_raw, temp_raw, i0, depth_values, hp.output_activation
     )
@@ -237,14 +250,26 @@ def composite_forward(
         z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
         z_pdf = sample_pdf(rng, z_mid, w[:, 1:-1], hp.depth_samples_fine)
         z_fine = jnp.sort(jnp.concatenate([z_pdf, z], axis=-1), axis=-1)
-        pts_f = origins[:, None, :] + dirs[:, None, :] * z_fine[..., None]
         s_total = hp.depth_samples_coarse + hp.depth_samples_fine
-        phases_f = jnp.broadcast_to(
-            batch["phases"][:, None], (origins.shape[0], s_total)
-        ).astype(jnp.int32)
-        static_raw_f, temp_raw_f = evaluate_composite(
-            params, pts_f, phases_f, cfgs, windows, hp, suffix="_fine",
-        )
+        if hp.use_pallas:
+            from nerfca_tpu.ops.pallas.fused_field import (
+                fused_composite_fields_rays,
+            )
+
+            static_raw_f, temp_raw_f = fused_composite_fields_rays(
+                params["static_fine"], params["temp_fine"], origins, dirs,
+                z_fine, batch["phases"], cfgs["static_fine"],
+                cfgs["temp_fine"], windows["static"], windows["temp"],
+                tile=hp.pallas_tile, compute_dtype=hp.compute_dtype,
+            )
+        else:
+            pts_f = origins[:, None, :] + dirs[:, None, :] * z_fine[..., None]
+            phases_f = jnp.broadcast_to(
+                batch["phases"][:, None], (origins.shape[0], s_total)
+            ).astype(jnp.int32)
+            static_raw_f, temp_raw_f = evaluate_composite(
+                params, pts_f, phases_f, cfgs, windows, hp, suffix="_fine",
+            )
         # reference renders the fine pass with ray 0's sorted depths
         # (model_helpers.py:147 depth_vals_fine[0, :])
         pix_f, s_sig_f, t_sig_f, dists_f = render_transmission_composite(

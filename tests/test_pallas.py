@@ -191,3 +191,75 @@ def test_train_step_with_pallas_flag():
         state, rays, phases, jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32)
     )
     assert np.isfinite(np.asarray(m["train_loss"])).all()
+
+
+def test_ray_form_matches_point_form():
+    """fused_composite_fields_rays must equal the point-form entry (and the
+    jnp reference) for shared and per-ray depths."""
+    import jax.numpy as jnp
+
+    cfg_s, cfg_t = flagship_cfgs(basis=3, layers=1)
+    params_s = init_static_field(jax.random.PRNGKey(20), cfg_s)
+    params_t = init_temporal_field(jax.random.PRNGKey(21), cfg_t)
+    r, s = 4, 32
+    key = jax.random.PRNGKey(22)
+    origins = jax.random.uniform(key, (r, 3), minval=-0.5, maxval=0.5)
+    dirs = jax.random.uniform(jax.random.fold_in(key, 1), (r, 3), minval=-1, maxval=1)
+    z = jnp.linspace(0.5, 1.5, s)
+    z_rs = jnp.broadcast_to(z, (r, s))
+    phases = jax.random.randint(jax.random.fold_in(key, 2), (r,), 0, 10)
+    w = jnp.ones(3)
+
+    raw_s, raw_t = ff.fused_composite_fields_rays(
+        params_s, params_t, origins, dirs, z_rs, phases,
+        cfg_s, cfg_t, w, w, tile=128,
+    )
+    pts = origins[:, None, :] + dirs[:, None, :] * z[:, None]
+    ref_s = apply_static_field(params_s, pts, cfg_s, window=w)
+    pph = jnp.broadcast_to(phases[:, None], (r, s))
+    ref_t = apply_temporal_field(params_t, pts, pph, cfg_t, window=w)
+    np.testing.assert_allclose(np.asarray(raw_s), np.asarray(ref_s), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(raw_t), np.asarray(ref_t), atol=3e-4)
+
+    # per-ray depths (the fine-pass case)
+    z_per_ray = z_rs + jax.random.uniform(jax.random.fold_in(key, 3), (r, 1)) * 0.1
+    raw_s2, _ = ff.fused_composite_fields_rays(
+        params_s, params_t, origins, dirs, z_per_ray, phases,
+        cfg_s, cfg_t, w, w, tile=128,
+    )
+    pts2 = origins[:, None, :] + dirs[:, None, :] * z_per_ray[..., None]
+    ref_s2 = apply_static_field(params_s, pts2, cfg_s, window=w)
+    np.testing.assert_allclose(np.asarray(raw_s2), np.asarray(ref_s2), atol=3e-4)
+
+
+def test_ray_form_gradients():
+    import jax.numpy as jnp
+
+    cfg_s, cfg_t = flagship_cfgs(basis=2, layers=1)
+    params_s = init_static_field(jax.random.PRNGKey(30), cfg_s)
+    params_t = init_temporal_field(jax.random.PRNGKey(31), cfg_t)
+    r, s = 2, 64
+    key = jax.random.PRNGKey(32)
+    origins = jax.random.uniform(key, (r, 3), minval=-0.5, maxval=0.5)
+    dirs = jax.random.uniform(jax.random.fold_in(key, 1), (r, 3))
+    z_rs = jnp.broadcast_to(jnp.linspace(0.5, 1.5, s), (r, s))
+    phases = jnp.array([2, 7])
+    w = jnp.ones(2)
+
+    def loss_fused(ps, pt):
+        a, b = ff.fused_composite_fields_rays(
+            ps, pt, origins, dirs, z_rs, phases, cfg_s, cfg_t, w, w, tile=128
+        )
+        return jnp.sum(a * 0.5 + b**2)
+
+    def loss_ref(ps, pt):
+        pts = origins[:, None, :] + dirs[:, None, :] * z_rs[..., None]
+        pph = jnp.broadcast_to(phases[:, None], (r, s))
+        a = apply_static_field(ps, pts, cfg_s, window=w)
+        b = apply_temporal_field(pt, pts, pph, cfg_t, window=w)
+        return jnp.sum(a * 0.5 + b**2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(params_s, params_t)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(params_s, params_t)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3)
