@@ -59,9 +59,26 @@ def _render_composite_tiles(
 
     def one_tile(args):
         o, d, ph = args
-        pts = o[:, None, :] + d[:, None, :] * depth_values[:, None]
-        pph = jnp.broadcast_to(ph[:, None], pts.shape[:2]).astype(jnp.int32)
-        s_raw, t_raw = evaluate_composite(params, pts, pph, cfgs, windows, hp)
+        if hp.use_pallas:
+            # ray-form fused path avoids materializing [rays, S, 3] points
+            # (42x-padded TPU layout; ~1GB physical per eval tile otherwise)
+            from nerfca_tpu.ops.pallas.fused_field import (
+                fused_composite_fields_rays,
+            )
+
+            z_rs = jnp.broadcast_to(
+                depth_values, (o.shape[0], depth_values.shape[0])
+            )
+            s_raw, t_raw = fused_composite_fields_rays(
+                params["static"], params["temp"], o, d, z_rs, ph,
+                cfgs["static"], cfgs["temp"],
+                windows["static"], windows["temp"],
+                tile=hp.pallas_tile, compute_dtype=hp.compute_dtype,
+            )
+        else:
+            pts = o[:, None, :] + d[:, None, :] * depth_values[:, None]
+            pph = jnp.broadcast_to(ph[:, None], pts.shape[:2]).astype(jnp.int32)
+            s_raw, t_raw = evaluate_composite(params, pts, pph, cfgs, windows, hp)
         return s_raw[..., -1], t_raw[..., -1]
 
     n = origins.shape[0]
