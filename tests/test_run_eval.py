@@ -28,3 +28,22 @@ def test_eval_from_checkpoint(tmp_path):
     assert os.path.isfile(scores_path)
     saved = json.load(open(scores_path))
     assert saved["mean_psnr"] == result["mean_psnr"]
+
+
+def test_render_cli_from_checkpoint(tmp_path):
+    from nerfca_tpu.train.run_render import render_views
+
+    args = parse_args(tiny_argv(tmp_path) + ["--n_iters", "20", "--save_every", "20",
+                                             "--display_every", "20"])
+    out = train_composite(args)
+    ckpt = os.path.join(out["log_dir"], "checkpoint")
+    args2 = parse_args(tiny_argv(tmp_path) + ["--resume_from", ckpt])
+    results = render_views(args2, [(-30.0, 30.0, 0), (60.0, -30.0, 5)])
+    assert len(results) == 2
+    render_dir = os.path.join(ckpt, "renders")
+    npys = [f for f in os.listdir(render_dir) if f.endswith(".npy")]
+    # 2 views x (composite, static, dynamic)
+    assert len(npys) == 6
+    img = np.load(os.path.join(render_dir, npys[0]))
+    assert img.shape == (50, 50)
+    assert np.isfinite(img).all()
