@@ -34,26 +34,10 @@ TIMED_CHUNKS = 5
 
 
 
-def _enable_jax_cache():
-    """Persistent compilation cache: compiles through the remote-compile
-    tunnel cost minutes; caching them on disk makes repeat runs instant."""
-    import os
-
-    import jax
-
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    _enable_jax_cache()
 
     from __graft_entry__ import _flagship_setup
     from nerfca_tpu.ops.sampling import linspace_depths

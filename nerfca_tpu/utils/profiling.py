@@ -59,12 +59,15 @@ class StepTimer:
 
 
 def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
-    """Persistent on-disk compilation cache. Compiles through a
-    remote-compile TPU tunnel cost minutes; caching them makes repeat runs
-    (re-launches, resumes, benchmarks) near-instant."""
+    """Opt-in persistent compilation cache (pass an explicit directory).
+
+    Disabled by default: the axon remote-compile path is not captured by
+    the client-side cache (so it saves nothing on this TPU setup), and a
+    cache shared across heterogeneous CPU hosts can load AOT code compiled
+    for different machine features.
+    """
     if cache_dir is None:
-        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        cache_dir = os.path.join(repo, ".jax_cache")
+        return
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
