@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 
 import numpy as np
 
@@ -69,11 +70,14 @@ def prepare_rays(
         )
         pix_list.append(img)
 
-        if use_weighting:
+        if use_weighting and os.path.isfile(row["weighted_file_path"]):
             w = np.load(row["weighted_file_path"]).reshape(
                 (img_width, img_height)
             ).T
         else:
+            # variance maps exist only when the full 10-phase cycle was
+            # processed (datatoray.py:160-161); partial-cycle datasets fall
+            # back to unit weights (the reference would crash here)
             w = np.ones((img_width, img_height))
         # [1, 2] -> [1, weighted_loss_max + 1]
         weight_list.append((w - 1.0) * weighted_loss_max + 1.0)

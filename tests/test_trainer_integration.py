@@ -144,3 +144,43 @@ def test_sweep_local_executor(tmp_path):
     assert all(r["train_loss"] is not None for r in results)
     out_path = os.path.join(str(tmp_path / "cases"), "SYNTH", "sweep_results.json")
     assert os.path.isfile(out_path)
+
+
+def test_reference_config_drives_training(tmp_path):
+    """The reference's own composite.txt drives our trainer end-to-end
+    (data source and scale overridden to the test-size synthetic phantom)."""
+    args = parse_args([
+        "--config", "/root/reference/train/composite.txt",
+        # swap the data source (MAGIX volumes are not present) and shrink
+        "--data_name", "SYNTH",
+        "--data_size", "50",
+        "--synth_vol_size", "20",
+        "--data_numb_angles", "4",
+        "--data_time_range_start", "0",
+        "--data_time_range_end", "2",
+        "--depth_samples_per_ray_coarse", "48",
+        "--img_sample_size", "64",
+        "--temp_num_filters", "16",
+        "--static_num_filters", "16",
+        "--temp_num_early_layers", "1",
+        "--static_num_early_layers", "1",
+        "--n_iters", "30",
+        "--display_every", "30",
+        "--save_every", "30",
+        "--log_every", "10",
+        "--steps_per_chunk", "10",
+        "--use_wandb", "false",
+        "--data_root", str(tmp_path / "data"),
+        "--log_dir_root", str(tmp_path / "cases"),
+    ])
+    # reference values flow through: free_windowed L=12, skew 1.0, entropy
+    # weighting on, occl 0.2, lr 1e-3
+    assert args.temp_pos_enc == "free_windowed"
+    assert args.temp_pos_enc_basis == 12
+    assert args.entro_use_weighting is True
+    assert args.occl_reg_perc == 0.2
+    assert args.lr == 1e-3
+    out = train_composite(args)
+    assert int(out["state"].step) == 31
+    records = [json.loads(l) for l in open(os.path.join(out["log_dir"], "metrics.jsonl"))]
+    assert any("train_loss" in r for r in records)
