@@ -24,7 +24,7 @@ from nerfca_tpu.geometry.cone import (
     MAX_PIXEL_VALUE,
     SCALE_FACTOR,
 )
-from nerfca_tpu.geometry.rays import detector_rays, detector_grid
+from nerfca_tpu.geometry.rays import detector_rays, detector_grid, perspective_rays
 
 __all__ = [
     "rot_x",
@@ -44,4 +44,5 @@ __all__ = [
     "SCALE_FACTOR",
     "detector_rays",
     "detector_grid",
+    "perspective_rays",
 ]

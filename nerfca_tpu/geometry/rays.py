@@ -78,3 +78,45 @@ def detector_rays(
 def pose_matrix(theta_deg: float, phi_deg: float, larm_deg: float, dso: float) -> np.ndarray:
     """Host-side 4x4 world-from-source pose (for ``srcmatrices.json`` parity)."""
     return carm_source_matrix(theta_deg, phi_deg, larm_deg, dso=dso)
+
+
+def perspective_rays(
+    theta_deg: float,
+    phi_deg: float,
+    larm_deg: float,
+    source_pt,
+    img_width: int,
+    img_height: int,
+    focal_length: float,
+    table_translation=(0.0, 0.0, 0.0),
+    dtype=jnp.float32,
+):
+    """Classic pinhole-style ray generation under the 'roadmap' pose.
+
+    Reference parity: ``preprocess/proj_helpers.py:48-67``
+    (``get_ray_values``) — pixel-corner (not half-pixel-centered) grid,
+    directions ``[(i - W/2)/f, -(j - H/2)/f, -1]`` rotated by the roadmap
+    pose with source and table translations. Used by the reference's
+    non-TIGRE 'roadmap' x_ray_type; kept for full capability parity.
+    """
+    from nerfca_tpu.geometry.rotations import roadmap_source_matrix
+
+    pose = roadmap_source_matrix(
+        source_pt, theta_deg, phi_deg, larm_deg, table_translation
+    )
+    i = jnp.arange(img_width, dtype=dtype)[None, :]
+    j = jnp.arange(img_height, dtype=dtype)[:, None]
+    dirs = jnp.stack(
+        jnp.broadcast_arrays(
+            (i - img_width / 2) / focal_length,
+            -(j - img_height / 2) / focal_length,
+            -jnp.ones((img_height, img_width), dtype),
+        ),
+        axis=-1,
+    )
+    rot = jnp.asarray(pose[:3, :3], dtype=dtype)
+    ray_directions = dirs @ rot.T
+    ray_origins = jnp.broadcast_to(
+        jnp.asarray(pose[:3, 3], dtype=dtype), ray_directions.shape
+    )
+    return ray_origins, ray_directions

@@ -173,3 +173,26 @@ def test_info_dict_roundtrip():
     geo2 = ConeGeometry.from_dict(info, scale_factor=1.0)
     np.testing.assert_allclose(geo2.DSD, geo.DSD)
     np.testing.assert_allclose(geo2.offOrigin, geo.offOrigin)
+
+
+def test_perspective_rays_roadmap():
+    """Pinhole-style roadmap rays (preprocess/proj_helpers.py:48-67)."""
+    from nerfca_tpu.geometry import perspective_rays, roadmap_source_matrix
+
+    o, d = perspective_rays(0.0, 0.0, 0.0, [0, 0, 5.0], 8, 6, focal_length=4.0)
+    assert o.shape == (6, 8, 3) and d.shape == (6, 8, 3)
+    on = np.asarray(o)
+    # identity pose: source at [0,0,5]
+    np.testing.assert_allclose(on[0, 0], [0, 0, 5.0], atol=1e-6)
+    dn = np.asarray(d)
+    # pixel (i=4, j=3) is the optical center -> direction -z
+    np.testing.assert_allclose(dn[3, 4], [0, 0, -1], atol=1e-6)
+    # pixel i=6: +x direction component (i - W/2)/f = 2/4
+    np.testing.assert_allclose(dn[3, 6], [0.5, 0, -1], atol=1e-6)
+    # pixel j=5: -y component -(j - H/2)/f = -0.5
+    np.testing.assert_allclose(dn[5, 4], [0, -0.5, -1], atol=1e-6)
+
+    # a rotated pose applies the roadmap rotation
+    o2, d2 = perspective_rays(30.0, 10.0, 5.0, [0, 0, 5.0], 4, 4, 2.0)
+    pose = roadmap_source_matrix([0, 0, 5.0], 30.0, 10.0, 5.0)
+    np.testing.assert_allclose(np.asarray(o2)[0, 0], pose[:3, 3], atol=1e-5)
