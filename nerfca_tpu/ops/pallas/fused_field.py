@@ -551,6 +551,8 @@ def fused_composite_fields_rays(
 
     s_pack = _pack_static(params_s, cfg_s, window_s)
     t_pack = _pack_temporal(params_t, cfg_t, window_t)
+    if compute_dtype == "bfloat16":
+        s_pack, t_pack = _cast_weight_packs(s_pack), _cast_weight_packs(t_pack)
     share_enc = (
         cfg_s.pos_enc_basis == cfg_t.pos_enc_basis
         and (cfg_s.pos_enc == "none") == (cfg_t.pos_enc == "none")
@@ -561,6 +563,17 @@ def fused_composite_fields_rays(
         share_enc,
     )
     return out_s[:n].reshape(r, s, 1), out_t[:n].reshape(r, s, 1)
+
+
+def _cast_weight_packs(pack):
+    """bf16 weight operands (MXU-native mode); biases/encoding constants
+    stay f32. The cast sits outside the custom-vjp boundary, so AD maps the
+    f32 gradients back automatically."""
+    out = dict(pack)
+    for k in ("w1", "w1l", "wh", "wo"):
+        if k in out:
+            out[k] = out[k].astype(jnp.bfloat16)
+    return out
 
 
 def fused_composite_fields(
@@ -615,6 +628,8 @@ def fused_composite_fields(
 
     s_pack = _pack_static(params_s, cfg_s, window_s)
     t_pack = _pack_temporal(params_t, cfg_t, window_t)
+    if compute_dtype == "bfloat16":
+        s_pack, t_pack = _cast_weight_packs(s_pack), _cast_weight_packs(t_pack)
     share_enc = (
         cfg_s.pos_enc_basis == cfg_t.pos_enc_basis
         and (cfg_s.pos_enc == "none") == (cfg_t.pos_enc == "none")
