@@ -43,7 +43,10 @@ from nerfca_tpu.geometry.cone import (
     xcat_geometry,
 )
 from nerfca_tpu.geometry.rays import pose_matrix
-from nerfca_tpu.data.phantom import synthetic_phantom_volume
+from nerfca_tpu.data.phantom import (
+    synthetic_phantom_volume,
+    synthetic_vessel_volume,
+)
 from nerfca_tpu.data.views import select_views
 from nerfca_tpu.ops.projector import project_view, transmission_image
 
@@ -113,6 +116,29 @@ def _default_volume_provider(args) -> Callable[[int], np.ndarray]:
     return provider
 
 
+def _default_dynamic_provider(args) -> Callable[[int], Optional[np.ndarray]]:
+    """Resolve the DYNAMIC-component (artery-only) volume per phase.
+
+    Disk contract: ``<volume_root>/<phase>/dyn_volume_tigre.npy`` — for XCAT
+    this is the artery volume ``|full - noarteries|`` the reference pipeline
+    already extracts (``preprocess/xcat.py:115-117``). The SYNTH family
+    falls back to the built-in vessel-only phantom. Returns None when no
+    ground-truth dynamic component exists (real CCTA scans)."""
+    root = getattr(args, "volume_root", None)
+
+    def provider(int_phase: int) -> Optional[np.ndarray]:
+        if root:
+            path = os.path.join(root, str(int_phase), "dyn_volume_tigre.npy")
+            if os.path.isfile(path):
+                return np.load(path)
+        if str(args.data_name).startswith("SYNTH"):
+            size = int(getattr(args, "synth_vol_size", 64))
+            return synthetic_vessel_volume(size=size, phase=int_phase / 10)
+        return None
+
+    return provider
+
+
 def _save_png(path: str, img: np.ndarray, cmap: str = "gray") -> None:
     try:
         import matplotlib
@@ -161,6 +187,9 @@ def build_dataset(
     volume_provider: Optional[Callable[[int], np.ndarray]] = None,
     projector_samples: int = 1000,
     write_mip: bool = False,
+    dynamic_volume_provider: Optional[
+        Callable[[int], Optional[np.ndarray]]
+    ] = None,
 ) -> DatasetPaths:
     """Generate the full on-disk dataset. Returns the artifact paths.
 
@@ -172,6 +201,7 @@ def build_dataset(
     os.makedirs(paths.folder, exist_ok=True)
 
     provider = volume_provider or _default_volume_provider(args)
+    dyn_provider = dynamic_volume_provider or _default_dynamic_provider(args)
 
     # probe one volume for dimensions
     first_phase = int(args.data_time_range_start)
@@ -252,8 +282,34 @@ def build_dataset(
         for theta, phi in np.asarray(phase_obj["train_viewpoints"]):
             process_view(theta, phi, train_frames)
 
+        dyn_volume: Optional[np.ndarray] = None
+        dyn_checked = False
         for theta, phi in np.asarray(phase_obj["test_viewpoints"]):
             image_id_str = process_view(theta, phi, test_frames)
+            if not dyn_checked:
+                dyn_checked = True
+                dv = dyn_provider(int_hrt)
+                dyn_volume = (
+                    np.asarray(dv, dtype=np.float32) if dv is not None else None
+                )
+            if dyn_volume is not None:
+                # dynamic-component ground truth: raw line integral of the
+                # artery-only volume (eval compares the temporal field's
+                # attenuation integral against this)
+                dyn_li = np.asarray(
+                    project_view(
+                        dyn_volume, info, float(theta), float(phi), 0.0,
+                        n_samples=projector_samples,
+                    )
+                )
+                np.save(
+                    os.path.join(paths.folder, f"{image_id_str}-dyn.npy"),
+                    dyn_li.T,
+                )
+                _save_png(
+                    os.path.join(paths.folder, f"{image_id_str}-dyn.png"),
+                    dyn_li,
+                )
             if write_mip:
                 mip = np.asarray(
                     project_view(

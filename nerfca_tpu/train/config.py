@@ -188,6 +188,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--regenerate_data", type=_bool, default=False,
                    help="rebuild the dataset even when artifacts exist "
                         "(the reference regenerates unconditionally)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform ('cpu' | 'tpu'); default uses "
+                        "whatever the runtime provides. 'cpu' is applied "
+                        "before backend init so CLI smokes never touch (or "
+                        "collide with jobs on) the TPU")
     return p
 
 
@@ -214,7 +219,20 @@ def parse_args(
     args = parser.parse_args(argv)
     if config_path:
         args.config = config_path
+    if args.platform:
+        apply_platform(args.platform)
     return args
+
+
+def apply_platform(platform: str) -> None:
+    """Pin the jax platform before any backend initialization.
+
+    The axon sitecustomize force-sets ``jax_platforms='axon,cpu'`` at
+    interpreter start (overriding the JAX_PLATFORMS env var), so a config
+    update after import is the only reliable override."""
+    import jax
+
+    jax.config.update("jax_platforms", platform)
 
 
 def overwrite_args(run_args, overrides: dict):

@@ -90,16 +90,40 @@ def evaluate_checkpoint(args) -> dict:
         lo, hi = float(gt.min()), float(gt.max())
         scale = (hi - lo) or 1.0
         ssim = evaluation.image_ssim((pred - lo) / scale, (gt - lo) / scale)
-        scores.append(
-            {
-                "image_id_str": frame["image_id_str"],
-                "theta": frame["theta"],
-                "phi": frame["phi"],
-                "heart_phase": frame["heart_phase"],
-                "psnr": psnr,
-                "ssim": ssim,
-            }
-        )
+        row = {
+            "image_id_str": frame["image_id_str"],
+            "theta": frame["theta"],
+            "phi": frame["phi"],
+            "heart_phase": frame["heart_phase"],
+            "psnr": psnr,
+            "ssim": ssim,
+        }
+
+        # Decomposition metrics against the artery-only ground truth, when
+        # the dataset provides it (SYNTH always; XCAT via the extracted
+        # artery volume, preprocess/xcat.py:115-117). The temporal field's
+        # predicted line integral I0 - pix_temp is compared with the raw
+        # line integral of the dynamic component.
+        dyn_path = frame["file_path"].replace(".npy", "-dyn.npy")
+        if os.path.isfile(dyn_path):
+            gt_dyn = np.load(dyn_path).reshape((w, h)).T.astype(np.float32)
+            pred_dyn = info["max_pixel_value"] - np.asarray(
+                render["pix_temp"]
+            ).reshape(w, h)
+            row["dyn_psnr"] = evaluation.image_psnr(pred_dyn, gt_dyn)
+            dscale = float(gt_dyn.max() - gt_dyn.min()) or 1.0
+            dlo = float(gt_dyn.min())
+            row["dyn_ssim"] = evaluation.image_ssim(
+                (pred_dyn - dlo) / dscale, (gt_dyn - dlo) / dscale
+            )
+            row["dyn_corr"] = _pearson(pred_dyn, gt_dyn)
+            _save_png(
+                os.path.join(
+                    out_dir, f"{frame['image_id_str']}-dyn-gt.png"
+                ),
+                evaluation.normalize01(gt_dyn),
+            )
+        scores.append(row)
         for name, img in (
             ("pred", pred),
             ("static", np.asarray(render["pix_static"]).reshape(w, h)),
@@ -109,7 +133,12 @@ def evaluate_checkpoint(args) -> dict:
                 os.path.join(out_dir, f"{frame['image_id_str']}-{name}.png"),
                 evaluation.normalize01(img),
             )
-        print(f"{frame['image_id_str']}: psnr={psnr:.3f} ssim={ssim:.4f}")
+        extra = (
+            f" dyn_psnr={row['dyn_psnr']:.3f} dyn_corr={row['dyn_corr']:.3f}"
+            if "dyn_psnr" in row
+            else ""
+        )
+        print(f"{frame['image_id_str']}: psnr={psnr:.3f} ssim={ssim:.4f}{extra}")
 
     result = {
         "step": step,
@@ -117,6 +146,11 @@ def evaluate_checkpoint(args) -> dict:
         "mean_psnr": float(np.mean([s["psnr"] for s in scores])),
         "mean_ssim": float(np.mean([s["ssim"] for s in scores])),
     }
+    dyn_rows = [s for s in scores if "dyn_psnr" in s]
+    if dyn_rows:
+        result["mean_dyn_psnr"] = float(np.mean([s["dyn_psnr"] for s in dyn_rows]))
+        result["mean_dyn_ssim"] = float(np.mean([s["dyn_ssim"] for s in dyn_rows]))
+        result["mean_dyn_corr"] = float(np.mean([s["dyn_corr"] for s in dyn_rows]))
     with open(os.path.join(out_dir, "eval_scores.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(
@@ -124,6 +158,15 @@ def evaluate_checkpoint(args) -> dict:
         f"ssim={result['mean_ssim']:.4f} -> {out_dir}/eval_scores.json"
     )
     return result
+
+
+def _pearson(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    a = a - a.mean()
+    b = b - b.mean()
+    denom = np.sqrt((a * a).sum() * (b * b).sum())
+    return float((a * b).sum() / denom) if denom > 0 else 0.0
 
 
 def _save_png(path, img):

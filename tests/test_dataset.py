@@ -185,3 +185,35 @@ def test_experiment_name_paths(tmp_path):
     args2 = synth_args(tmp_path)
     paths2 = dataset_paths(args2, str(tmp_path / "data"))
     assert paths2.train.endswith("train-60.0-120.0-0-2.json")
+
+
+def test_vessel_only_volume_matches_composite_vessel():
+    """The artery-only GT volume is exactly the composite's pasted vessel."""
+    from nerfca_tpu.data.phantom import (
+        synthetic_phantom_volume,
+        synthetic_vessel_volume,
+    )
+
+    full = synthetic_phantom_volume(size=32, phase=0.3, smooth_sigma=0)
+    dyn = synthetic_vessel_volume(size=32, phase=0.3, smooth_sigma=0)
+    mask = dyn > 0
+    assert mask.sum() > 0
+    np.testing.assert_array_equal(full[mask], dyn[mask])
+    # vessel is the brightest structure and it moves with phase
+    assert dyn.max() == full.max()
+    dyn2 = synthetic_vessel_volume(size=32, phase=0.8, smooth_sigma=0)
+    assert (dyn2 > 0).sum() > 0 and ((dyn2 > 0) != mask).any()
+
+
+def test_dyn_ground_truth_written_for_test_views(built):
+    """SYNTH test frames get artery-only line-integral artifacts."""
+    args, paths = built
+    frames = json.load(open(paths.test))["frames"]
+    dyn_path = frames[0]["file_path"].replace(".npy", "-dyn.npy")
+    assert os.path.isfile(dyn_path)
+    li = np.load(dyn_path)
+    assert li.shape == (50, 50)
+    assert np.isfinite(li).all() and li.max() > 0
+    # train frames have no dyn artifacts (eval-only ground truth)
+    tf = json.load(open(paths.train))["frames"]
+    assert not os.path.isfile(tf[0]["file_path"].replace(".npy", "-dyn.npy"))

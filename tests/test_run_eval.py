@@ -24,6 +24,10 @@ def test_eval_from_checkpoint(tmp_path):
     assert len(result["per_view"]) >= 1
     assert np.isfinite(result["mean_psnr"])
     assert -1.0 <= result["mean_ssim"] <= 1.0
+    # SYNTH datasets carry artery-only ground truth -> decomposition metrics
+    assert "mean_dyn_psnr" in result
+    assert -1.0 <= result["mean_dyn_corr"] <= 1.0
+    assert "dyn_ssim" in result["per_view"][0]
     scores_path = os.path.join(ckpt, "eval", "eval_scores.json")
     assert os.path.isfile(scores_path)
     saved = json.load(open(scores_path))
