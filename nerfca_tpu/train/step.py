@@ -446,13 +446,27 @@ def make_composite_train_step(
 
 def make_train_chunk(train_step, n_steps: int):
     """Scan ``n_steps`` iterations in one device dispatch; metrics stack to
-    ``[n_steps]`` per key for host-side logging and early-stop checks."""
+    ``[n_steps]`` per key for host-side logging and early-stop checks.
 
-    def chunk(state, rays, phases, var_ids, non_var_ids):
-        def body(st, _):
-            return train_step(st, rays, phases, var_ids, non_var_ids)
+    The chunk optionally takes ``n_valid`` (a traced integer): steps with
+    ``i >= n_valid`` become state-preserving no-ops, so a shorter tail chunk
+    (e.g. the +1 of the reference's ``range(n_iters+1)`` loop,
+    ``run_composite.py:227``) reuses the SAME compiled graph instead of
+    re-jitting a shorter scan — a fresh compile costs minutes through the
+    remote-compile tunnel. The select touches only the small state pytree
+    (~MBs), negligible next to the step itself."""
 
-        return jax.lax.scan(body, state, None, length=n_steps)
+    def chunk(state, rays, phases, var_ids, non_var_ids, n_valid=None):
+        def body(st, i):
+            new_st, metrics = train_step(st, rays, phases, var_ids, non_var_ids)
+            if n_valid is not None:
+                keep = i < n_valid
+                new_st = jax.tree.map(
+                    lambda a, b: jnp.where(keep, a, b), new_st, st
+                )
+            return new_st, metrics
+
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
 
     return chunk
 

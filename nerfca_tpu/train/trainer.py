@@ -287,20 +287,14 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
 
     step = start_step
     while step < n_total and not stop:
+        # n_valid masks any tail remainder inside the SAME compiled chunk
+        # (no re-jit; see make_train_chunk)
         n_now = min(chunk, n_total - step)
-        if n_now != chunk:
-            # tail chunk: re-jit once with the smaller length
-            tail_fn = jax.jit(
-                make_train_chunk(setup["train_step"], n_now), donate_argnums=(0,)
-            )
-            state, metrics = tail_fn(
-                state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"]
-            )
-        else:
-            state, metrics = chunk_fn(
-                state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"]
-            )
-        metrics = jax.tree.map(np.asarray, metrics)
+        state, metrics = chunk_fn(
+            state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"],
+            n_now,
+        )
+        metrics = jax.tree.map(lambda v: np.asarray(v)[:n_now], metrics)
         chunk_time = time.time() - t_start
         t_start = time.time()
 
@@ -463,14 +457,11 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
     t_start = time.time()
     while step < n_total:
         n_now = min(chunk, n_total - step)
-        if n_now != chunk:
-            fn = jax.jit(make_train_chunk(train_step, n_now), donate_argnums=(0,))
-        else:
-            fn = chunk_fn
-        state, metrics = fn(
-            state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"]
+        state, metrics = chunk_fn(
+            state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"],
+            n_now,
         )
-        metrics = jax.tree.map(np.asarray, metrics)
+        metrics = jax.tree.map(lambda v: np.asarray(v)[:n_now], metrics)
         chunk_time = time.time() - t_start
         t_start = time.time()
         for i in range(n_now):

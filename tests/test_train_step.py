@@ -226,3 +226,38 @@ def test_bf16_compute_dtype_trains():
     assert np.isfinite(np.asarray(m["train_loss"])).all()
     # params stay f32
     assert state.params["static"]["out"]["w"].dtype == jnp.float32
+
+
+def test_train_chunk_n_valid_masks_tail_steps():
+    """chunk(.., n_valid=k) must leave state EXACTLY as running k steps:
+    the tail remainder reuses the full-length compiled graph with the extra
+    steps masked to no-ops (no re-jit of a shorter scan)."""
+    cfgs = tiny_cfgs()
+    hp = tiny_hp()
+    tx = make_optimizer(1e-3, 0.01, 100)
+    rays, phases = synthetic_rays()
+    step = make_composite_train_step(
+        cfgs, hp, tx, linspace_depths(3.6, 5.4, hp.depth_samples_coarse), 2.16
+    )
+
+    chunk5 = jax.jit(make_train_chunk(step, 5))
+    state_a, metrics_a = chunk5(make_state(cfgs, tx), rays, phases, None, None, 3)
+    chunk3 = jax.jit(make_train_chunk(step, 3))
+    state_b, metrics_b = chunk3(make_state(cfgs, tx), rays, phases, None, None)
+
+    assert int(state_a.step) == 3 == int(state_b.step)
+    # tolerance: XLA fuses the length-5 and length-3 scans differently, so
+    # identical math lands within float noise, not bitwise equal
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        state_a.params,
+        state_b.params,
+    )
+    # the first n_valid metric entries are the real ones
+    np.testing.assert_allclose(
+        np.asarray(metrics_a["train_loss"])[:3],
+        np.asarray(metrics_b["train_loss"]),
+        rtol=1e-5,
+    )
