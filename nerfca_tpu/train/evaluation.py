@@ -101,9 +101,16 @@ def render_test_view(
     hp: CompositeHParams,
     initial_intensity: float,
     tile: int = 4096,
+    depth_values_fine=None,
 ):
     """Render one full test view; returns raw per-sample field outputs and
-    the composite + decomposed intensity maps, flattened over pixels."""
+    the composite + decomposed intensity maps, flattened over pixels.
+
+    When the hierarchy is on (``depth_values_fine`` given and fine params
+    present), also renders the FINE models on the fixed stratified fine
+    grid — the reference's eval fine pass is a direct render of the fine
+    models, not a PDF-resampled hierarchical pass
+    (``run_composite.py:372-389``, ``:136``)."""
     n = test_origins.shape[0]
     pad = (-n) % tile
     if pad:
@@ -141,7 +148,7 @@ def render_test_view(
     pix_static, _, _ = render_transmission(
         s_raw[..., None], i0, depth_values, hp.output_activation
     )
-    return {
+    out = {
         "pix": pix,
         "pix_static": pix_static,
         "pix_temp": pix_temp,
@@ -149,6 +156,42 @@ def render_test_view(
         "temp_sigma": t_sig,
         "dists": dists,
     }
+
+    if depth_values_fine is not None and "static_fine" in params:
+        fine_params = {
+            "static": params["static_fine"],
+            "temp": params["temp_fine"],
+        }
+        fine_cfgs = {
+            "static": cfgs["static_fine"],
+            "temp": cfgs["temp_fine"],
+        }
+        s_raw_f, t_raw_f = _render_composite_tiles(
+            fine_params,
+            test_origins,
+            test_directions,
+            test_phases,
+            depth_values_fine,
+            jnp.asarray(step),
+            tuple(sorted(fine_cfgs.items())),
+            hp,
+            min(tile, test_origins.shape[0]),
+        )
+        s_raw_f, t_raw_f = s_raw_f[:n], t_raw_f[:n]
+        pix_f, s_sig_f, t_sig_f, dists_f = render_transmission_composite(
+            s_raw_f[..., None],
+            t_raw_f[..., None],
+            i0,
+            depth_values_fine,
+            hp.output_activation,
+        )
+        out.update(
+            pix_fine=pix_f,
+            static_sigma_fine=s_sig_f,
+            temp_sigma_fine=t_sig_f,
+            dists_fine=dists_f,
+        )
+    return out
 
 
 def render_static_test_view(
@@ -232,6 +275,29 @@ def test_metrics(
     )
     test_loss = _regularized_loss(pixel_loss, losses, weights_sched)
 
+    pixel_loss_fine = None
+    if "pix_fine" in render:
+        # fine terms ADD to test_loss, and the logged regularizer
+        # components come from the FINE pass — the reference overwrites
+        # the coarse values before logging (run_composite.py:380-389)
+        pixel_loss_fine = jnp.mean(
+            weighted_mse(render["pix_fine"], test_img_flat, ones)
+        )
+        losses = composite_losses(
+            render["static_sigma_fine"],
+            render["temp_sigma_fine"],
+            render["dists_fine"],
+            ones,
+            skewness_val=hp.skewness_val,
+            entro_mask_thre=hp.entro_mask_thre,
+            entro_use_weighting=hp.entro_use_weighting,
+            entro_weighted_thresh=hp.entro_weighted_thresh,
+            occl_reg_perc=hp.occl_reg_perc,
+        )
+        test_loss = test_loss + _regularized_loss(
+            pixel_loss_fine, losses, weights_sched
+        )
+
     pred = np.asarray(render["pix"], dtype=np.float64)
     gt = np.asarray(test_img_flat, dtype=np.float64)
     out = {
@@ -245,6 +311,11 @@ def test_metrics(
         # pure image-quality metrics (the paper's headline numbers)
         "test_image_psnr": image_psnr(pred, gt),
     }
+    if pixel_loss_fine is not None:
+        out["test_pixel_loss_fine"] = float(pixel_loss_fine)
+        out["test_image_psnr_fine"] = image_psnr(
+            np.asarray(render["pix_fine"], dtype=np.float64), gt
+        )
     if img_shape is not None:
         # SSIM on the ground truth's intensity scale for both images
         lo, hi = float(gt.min()), float(gt.max())

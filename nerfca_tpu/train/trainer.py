@@ -272,10 +272,21 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
     test_view = setup["test_view"]
 
     # the reference jitters the eval depths once before the loop
-    # (run_composite.py:134-136)
+    # (run_composite.py:134-136) — the fine grid too when the hierarchy is on
     test_depths = stratify_depths(
         jax.random.PRNGKey(args.seed + 1), setup["depth_values"]
     )
+    test_depths_fine = None
+    if args.depth_samples_per_ray_fine > 0:
+        info = setup["data"].info
+        test_depths_fine = stratify_depths(
+            jax.random.PRNGKey(args.seed + 2),
+            linspace_depths(
+                info["near_thresh"],
+                info["far_thresh"],
+                args.depth_samples_per_ray_fine,
+            ),
+        )
 
     n_total = (max_steps if max_steps is not None else args.n_iters) + 1
     start_step = int(state.step)
@@ -339,6 +350,7 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
                 cfgs,
                 hp,
                 setup["max_pixel_value"],
+                depth_values_fine=test_depths_fine,
             )
             tm = evaluation.test_metrics(
                 render, test_view["image"], step, hp, img_shape=test_view["shape"]
