@@ -255,6 +255,71 @@ def prepare_composite(args, mesh=None):
     }
 
 
+def _chunked_train_loop(
+    args,
+    logger,
+    log_dir,
+    state,
+    dd,
+    chunk_fn,
+    chunk: int,
+    n_total: int,
+    *,
+    eval_fn=None,
+    save_fn=None,
+    early_stop_fn=None,
+):
+    """Shared chunked-loop engine for both drivers: dispatch jitted chunks
+    (tail remainder masked via ``n_valid`` — no re-jit), per-step logging at
+    ``log_every`` granularity, optional early stop, eval at
+    ``display_every`` boundaries, checkpoints at ``save_every`` boundaries,
+    and the ``--profile_steps`` jax.profiler window."""
+    start_step = int(state.step)
+    stop = False
+    t_start = time.time()
+    profile_left = args.profile_steps
+    if profile_left > 0:
+        jax.profiler.start_trace(os.path.join(log_dir, "profile"))
+
+    step = start_step
+    while step < n_total and not stop:
+        n_now = min(chunk, n_total - step)
+        state, metrics = chunk_fn(
+            state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"],
+            n_now,
+        )
+        metrics = jax.tree.map(lambda v: np.asarray(v)[:n_now], metrics)
+        chunk_time = time.time() - t_start
+        t_start = time.time()
+
+        # per-step logging at log_every granularity (run_composite.py:314-344)
+        for i in range(n_now):
+            s = step + i
+            if s % args.log_every == 0:
+                rec = {k: v[i] for k, v in metrics.items()}
+                rec["train_time"] = chunk_time / n_now
+                logger.log(rec, step=s)
+
+        if early_stop_fn is not None:
+            stop = early_stop_fn(metrics, step, n_now)
+
+        step += n_now
+
+        if profile_left and step - start_step >= profile_left:
+            jax.profiler.stop_trace()
+            profile_left = 0
+
+        if eval_fn is not None and (step % args.display_every == 0 or stop):
+            eval_fn(state, step)
+
+        if save_fn is not None and (
+            step % args.save_every == 0 or stop or step >= n_total
+        ):
+            save_fn(state, step)
+
+    return state
+
+
 def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
     """The ``run_composite`` entry point. Returns the final state + summary."""
     if args is None:
@@ -289,34 +354,8 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
         )
 
     n_total = (max_steps if max_steps is not None else args.n_iters) + 1
-    start_step = int(state.step)
-    stop = False
-    t_start = time.time()
 
-    if args.profile_steps > 0:
-        jax.profiler.start_trace(os.path.join(log_dir, "profile"))
-
-    step = start_step
-    while step < n_total and not stop:
-        # n_valid masks any tail remainder inside the SAME compiled chunk
-        # (no re-jit; see make_train_chunk)
-        n_now = min(chunk, n_total - step)
-        state, metrics = chunk_fn(
-            state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"],
-            n_now,
-        )
-        metrics = jax.tree.map(lambda v: np.asarray(v)[:n_now], metrics)
-        chunk_time = time.time() - t_start
-        t_start = time.time()
-
-        # per-step logging at log_every granularity (run_composite.py:314-344)
-        for i in range(n_now):
-            s = step + i
-            if s % args.log_every == 0:
-                rec = {k: v[i] for k, v in metrics.items()}
-                rec["train_time"] = chunk_time / n_now
-                logger.log(rec, step=s)
-
+    def early_stop_fn(metrics, step, n_now):
         # early stop (run_composite.py:310-312)
         d_ent = metrics["train_d_entropy_loss"]
         favor = metrics["train_favor_s_loss"]
@@ -331,61 +370,63 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
                 f"Early stop at step {step + first}: "
                 f"d_entropy={d_ent[first]:.3e} favor={favor[first]:.3e}"
             )
-            stop = True
+            return True
+        return False
 
-        step += n_now
+    def eval_fn(state, step):
+        render = evaluation.render_test_view(
+            state.params,
+            test_view["origins"],
+            test_view["directions"],
+            test_view["phases"],
+            test_depths,
+            step,
+            cfgs,
+            hp,
+            setup["max_pixel_value"],
+            depth_values_fine=test_depths_fine,
+        )
+        tm = evaluation.test_metrics(
+            render, test_view["image"], step, hp, img_shape=test_view["shape"]
+        )
+        logger.log(tm, step=step)
+        w, h = test_view["shape"]
+        norm = evaluation.normalize01
+        gt = np.asarray(test_view["image"]).reshape(w, h)
+        pred = np.asarray(render["pix"]).reshape(w, h)
+        logger.log_images(
+            {
+                "prediction_coarse": norm(pred),
+                "original_coarse": norm(gt),
+                "difference_coarse": np.abs(norm(pred) - norm(gt)),
+                "dynamic_coarse": norm(
+                    np.asarray(render["pix_temp"]).reshape(w, h)
+                ),
+                "static_coarse": norm(
+                    np.asarray(render["pix_static"]).reshape(w, h)
+                ),
+            },
+            step,
+        )
+        print(
+            f"step {step}: test_loss={tm['test_loss']:.6f} "
+            f"test_psnr={tm['test_psnr']:.3f} image_psnr={tm['test_image_psnr']:.3f}"
+        )
 
-        if args.profile_steps and step - start_step >= args.profile_steps:
-            jax.profiler.stop_trace()
-            args.profile_steps = 0
+    def save_fn(state, step):
+        save_checkpoint(
+            os.path.join(log_dir, "checkpoint"),
+            state,
+            cfgs,
+            run_metadata={"data_name": args.data_name, "step": int(state.step)},
+        )
 
-        if test_view is not None and (step % args.display_every == 0 or stop):
-            render = evaluation.render_test_view(
-                state.params,
-                test_view["origins"],
-                test_view["directions"],
-                test_view["phases"],
-                test_depths,
-                step,
-                cfgs,
-                hp,
-                setup["max_pixel_value"],
-                depth_values_fine=test_depths_fine,
-            )
-            tm = evaluation.test_metrics(
-                render, test_view["image"], step, hp, img_shape=test_view["shape"]
-            )
-            logger.log(tm, step=step)
-            w, h = test_view["shape"]
-            norm = evaluation.normalize01
-            gt = np.asarray(test_view["image"]).reshape(w, h)
-            pred = np.asarray(render["pix"]).reshape(w, h)
-            logger.log_images(
-                {
-                    "prediction_coarse": norm(pred),
-                    "original_coarse": norm(gt),
-                    "difference_coarse": np.abs(norm(pred) - norm(gt)),
-                    "dynamic_coarse": norm(
-                        np.asarray(render["pix_temp"]).reshape(w, h)
-                    ),
-                    "static_coarse": norm(
-                        np.asarray(render["pix_static"]).reshape(w, h)
-                    ),
-                },
-                step,
-            )
-            print(
-                f"step {step}: test_loss={tm['test_loss']:.6f} "
-                f"test_psnr={tm['test_psnr']:.3f} image_psnr={tm['test_image_psnr']:.3f}"
-            )
-
-        if step % args.save_every == 0 or stop or step >= n_total:
-            save_checkpoint(
-                os.path.join(log_dir, "checkpoint"),
-                state,
-                cfgs,
-                run_metadata={"data_name": args.data_name, "step": int(state.step)},
-            )
+    state = _chunked_train_loop(
+        args, logger, log_dir, state, dd, chunk_fn, chunk, n_total,
+        eval_fn=eval_fn if test_view is not None else None,
+        save_fn=save_fn,
+        early_stop_fn=early_stop_fn,
+    )
 
     logger.close()
     return {"state": state, "log_dir": log_dir, "setup": setup}
@@ -446,6 +487,8 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
     key = jax.random.PRNGKey(args.seed)
     params = {"static": init_static_field(key, cfg)}
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), key)
+    if args.resume_from:
+        state = load_checkpoint(args.resume_from, state)
 
     depth_values = linspace_depths(near, far, args.depth_samples_per_ray_coarse)
     train_step = make_static_train_step(cfg, hp, tx, depth_values, max_pixel_value)
@@ -465,69 +508,57 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
     test_depths = stratify_depths(jax.random.PRNGKey(args.seed + 1), depth_values)
 
     n_total = (max_steps if max_steps is not None else args.n_iters) + 1
-    step = 0
-    t_start = time.time()
-    while step < n_total:
-        n_now = min(chunk, n_total - step)
-        state, metrics = chunk_fn(
-            state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"],
-            n_now,
-        )
-        metrics = jax.tree.map(lambda v: np.asarray(v)[:n_now], metrics)
-        chunk_time = time.time() - t_start
-        t_start = time.time()
-        for i in range(n_now):
-            s = step + i
-            if s % args.log_every == 0:
-                rec = {k: v[i] for k, v in metrics.items()}
-                rec["train_time"] = chunk_time / n_now
-                logger.log(rec, step=s)
-        step += n_now
 
+    def eval_fn(state, step):
         # in-loop test render (run_nerf.py:254-287)
-        if test_view is not None and step % args.display_every == 0:
-            render = evaluation.render_static_test_view(
-                state.params,
-                test_view["origins"],
-                test_view["directions"],
-                test_depths,
-                step,
-                cfg,
-                hp,
-                max_pixel_value,
-            )
-            w, h = test_view["shape"]
-            gt = np.asarray(test_view["image"])
-            pred = np.asarray(render["pix_static"])
-            pixel_loss = float(np.mean((pred - gt) ** 2))
-            tm = {
-                "test_pixel_loss": pixel_loss,
-                "test_psnr": float(-10 * np.log10(pixel_loss)) if pixel_loss > 0 else float("inf"),
-                "test_image_psnr": evaluation.image_psnr(
-                    pred.reshape(w, h), gt.reshape(w, h)
+        render = evaluation.render_static_test_view(
+            state.params,
+            test_view["origins"],
+            test_view["directions"],
+            test_depths,
+            step,
+            cfg,
+            hp,
+            max_pixel_value,
+        )
+        w, h = test_view["shape"]
+        gt = np.asarray(test_view["image"])
+        pred = np.asarray(render["pix_static"])
+        pixel_loss = float(np.mean((pred - gt) ** 2))
+        tm = {
+            "test_pixel_loss": pixel_loss,
+            "test_psnr": float(-10 * np.log10(pixel_loss)) if pixel_loss > 0 else float("inf"),
+            "test_image_psnr": evaluation.image_psnr(
+                pred.reshape(w, h), gt.reshape(w, h)
+            ),
+        }
+        logger.log(tm, step=step)
+        norm = evaluation.normalize01
+        logger.log_images(
+            {
+                "prediction": norm(pred.reshape(w, h)),
+                "original": norm(gt.reshape(w, h)),
+                "difference": np.abs(
+                    norm(pred.reshape(w, h)) - norm(gt.reshape(w, h))
                 ),
-            }
-            logger.log(tm, step=step)
-            norm = evaluation.normalize01
-            logger.log_images(
-                {
-                    "prediction": norm(pred.reshape(w, h)),
-                    "original": norm(gt.reshape(w, h)),
-                    "difference": np.abs(
-                        norm(pred.reshape(w, h)) - norm(gt.reshape(w, h))
-                    ),
-                },
-                step,
-            )
-            print(f"step {step}: test_psnr={tm['test_psnr']:.3f}")
+            },
+            step,
+        )
+        print(f"step {step}: test_psnr={tm['test_psnr']:.3f}")
 
-        if step % args.save_every == 0 or step >= n_total:
-            save_checkpoint(
-                os.path.join(log_dir, "checkpoint"),
-                state,
-                {"static": cfg},
-                run_metadata={"data_name": args.data_name, "step": int(state.step)},
-            )
+    def save_fn(state, step):
+        save_checkpoint(
+            os.path.join(log_dir, "checkpoint"),
+            state,
+            {"static": cfg},
+            run_metadata={"data_name": args.data_name, "step": int(state.step)},
+        )
+
+    state = _chunked_train_loop(
+        args, logger, log_dir, state, dd, chunk_fn, chunk, n_total,
+        eval_fn=eval_fn if test_view is not None else None,
+        save_fn=save_fn,
+    )
 
     logger.close()
     return {"state": state, "log_dir": log_dir}

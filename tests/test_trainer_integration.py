@@ -143,7 +143,16 @@ def test_sweep_local_executor(tmp_path):
     assert {r["overrides"]["lr"] for r in results} == {1e-3, 1e-2}
     assert all(r["train_loss"] is not None for r in results)
     out_path = os.path.join(str(tmp_path / "cases"), "SYNTH", "sweep_results.json")
-    assert os.path.isfile(out_path)
+    payload = json.load(open(out_path))
+    # successive halving actually ran: rungs recorded, losers cut after
+    # rung 0, the survivor promoted through max_iter=40
+    hb = payload["hyperband"]
+    assert hb["rung_iters"] == [4, 13, 40]
+    assert len(hb["rungs"]) == 3
+    assert len(hb["rungs"][0]["scores"]) == 2
+    assert len(hb["rungs"][0]["promoted"]) == 1
+    assert len(hb["rungs"][-1]["scores"]) == 1
+    assert payload["results"][0]["train_loss"] is not None
 
 
 def test_reference_config_drives_training(tmp_path):
