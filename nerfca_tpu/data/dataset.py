@@ -228,6 +228,25 @@ def build_dataset(
         step_size_test=getattr(args, "data_step_size_test", None),
     )
 
+    # --visualize_geometry: scene plot of the first phase's acquisition
+    # (reference renders it during dataset generation, datatoray.py:91-92)
+    if getattr(args, "visualize_geometry", False) and phase_list:
+        from nerfca_tpu.utils.visualize import visualize_geometry
+
+        half = 0.5 * np.asarray(info["nVoxel"]) * np.asarray(info["dVoxel"])
+        off = np.asarray(info["offOrigin"])
+        bounds = np.stack([off - half, off + half], axis=-1)
+        visualize_geometry(
+            phase_list[0]["train_viewpoints"],
+            info,
+            volume_bounds=bounds,
+            save_path=os.path.join(paths.folder, "geometry.png"),
+        )
+
+    # the reference writes MIP ground-truth renders for test views during a
+    # pure data-preparation pass (datatoray.py:127-141)
+    write_mip = write_mip or bool(getattr(args, "only_prepare_data", False))
+
     train_frames: list[dict] = []
     test_frames: list[dict] = []
     src_matrices: dict[str, list] = {}

@@ -217,3 +217,31 @@ def test_dyn_ground_truth_written_for_test_views(built):
     # train frames have no dyn artifacts (eval-only ground truth)
     tf = json.load(open(paths.train))["frames"]
     assert not os.path.isfile(tf[0]["file_path"].replace(".npy", "-dyn.npy"))
+
+
+def test_prepare_data_cli_writes_mip_and_geometry_png(tmp_path):
+    """--only_prepare_data writes MIP ground truth for test views and
+    --visualize_geometry writes the acquisition scene plot, both during
+    dataset generation (reference datatoray.py:65-92,127-141)."""
+    from nerfca_tpu.train.run_composite import main
+
+    main([
+        "--platform", "cpu",
+        "--data_name", "SYNTH",
+        "--data_size", "50",
+        "--synth_vol_size", "16",
+        "--data_numb_angles", "4",
+        "--data_time_range_start", "0",
+        "--data_time_range_end", "1",
+        "--only_prepare_data", "true",
+        "--visualize_geometry", "true",
+        "--data_root", str(tmp_path / "data"),
+        "--log_dir_root", str(tmp_path / "cases"),
+    ])
+    folder = str(tmp_path / "data" / "SYNTH" / "50")
+    names = os.listdir(folder)
+    mips = [n for n in names if n.endswith("-mip.npy")]
+    assert len(mips) == 4  # one per clinical test view
+    mip = np.load(os.path.join(folder, mips[0]))
+    assert mip.shape == (50, 50) and np.isfinite(mip).all() and mip.max() > 0
+    assert "geometry.png" in names
