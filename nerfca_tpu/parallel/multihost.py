@@ -17,6 +17,7 @@ This module provides both:
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -26,21 +27,40 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    *,
+    strict: Optional[bool] = None,
 ) -> dict:
     """Bring up the JAX process group on a multi-host slice.
 
     With no arguments, relies on the TPU environment's automatic discovery
     (the standard path on Cloud TPU pods). Returns a summary dict; safe to
-    call on a single host (no-op failure -> single-process values).
-    """
+    call on a single host.
+
+    ``strict`` controls failure handling and defaults to True whenever any
+    explicit coordinator argument is given: a misconfigured pod must raise,
+    not silently degrade to single-process training. The zero-argument
+    auto-discovery path defaults to non-strict (plain single-host runs are
+    expected to fall through), but still warns on unexpected errors."""
+    explicit = any(
+        v is not None for v in (coordinator_address, num_processes, process_id)
+    )
+    if strict is None:
+        strict = explicit
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        pass  # single-process / already initialized
+    except (ValueError, RuntimeError) as e:
+        already = "already initialized" in str(e).lower()
+        if not already:
+            if strict:
+                raise
+            warnings.warn(
+                f"jax.distributed.initialize failed ({e}); continuing "
+                f"single-process"
+            )
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

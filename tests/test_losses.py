@@ -145,3 +145,58 @@ def test_exp_param_decay():
     np.testing.assert_allclose(
         float(exp_param_decay(50, 1.0, 0.01, 101)), 1.0 * (0.01) ** (50 / 100), rtol=1e-5
     )
+
+
+def _ref_sigma_s_ray_loss(sigma, dists, mask_threshold, use_weighting,
+                          weighted_pixs, weighted_thresh):
+    """Literal numpy transcription of the reference's
+    compute_sigma_s_ray_loss (model_helpers.py:206-224), including the
+    flatten-order OR-in that writes the weighted mask over only the first
+    weighted_pixs.shape[0] entries of the per-ray mask."""
+    sigma_dist = sigma * dists
+    sigma_sum = sigma_dist.sum(-1, keepdims=True)
+    mask = np.where(sigma_sum < mask_threshold, 0.0, 1.0).flatten().astype(int)
+    if weighted_pixs is not None and use_weighting:
+        weighted_mask = np.zeros(mask.shape, dtype=int)
+        weighted_mask[: weighted_pixs.shape[0]] = np.where(
+            weighted_pixs > 1 + weighted_thresh, 1, 0
+        )
+        mask = np.bitwise_or(weighted_mask, mask)
+    ray_p = sigma_dist / np.clip(sigma_sum, 1e-19, None)
+    entropy = mask * -np.sum(ray_p * np.log(ray_p + 1e-10), axis=-1)
+    return entropy.mean(), sigma_sum.mean()
+
+
+def test_ray_entropy_golden_vs_reference_indexing():
+    """Our per-ray OR equals the reference's flatten-order OR-in at the
+    shipped shapes (weighted_pixs length == n_rays), and a short weighted
+    vector padded with sub-threshold values reproduces the reference's
+    zero-filled tail exactly."""
+    rng = np.random.default_rng(7)
+    n, s = 64, 16
+    sigma = rng.random((n, s)).astype(np.float32) * 0.3
+    dists = rng.random((n, s)).astype(np.float32) * 0.1 + 0.01
+    w = (1.0 + rng.random(n) * 0.6).astype(np.float32)
+
+    ref_e, ref_sum = _ref_sigma_s_ray_loss(
+        sigma, dists, 0.1, True, w, 0.25
+    )
+    ours_e, ours_sum = ray_entropy_loss(
+        jnp.asarray(sigma), jnp.asarray(dists), mask_threshold=0.1,
+        use_weighting=True, weighted_pixs=jnp.asarray(w),
+        weighted_thresh=0.25,
+    )
+    np.testing.assert_allclose(float(ours_e), ref_e, rtol=1e-5)
+    np.testing.assert_allclose(float(ours_sum), ref_sum, rtol=1e-5)
+
+    # reference semantics for a SHORT weighted vector: entries past its
+    # length get weighted_mask 0 == our padding with any value <= 1+thresh
+    w_short = w[: n // 2]
+    ref_e2, _ = _ref_sigma_s_ray_loss(sigma, dists, 0.1, True, w_short, 0.25)
+    w_padded = np.concatenate([w_short, np.ones(n - n // 2, np.float32)])
+    ours_e2, _ = ray_entropy_loss(
+        jnp.asarray(sigma), jnp.asarray(dists), mask_threshold=0.1,
+        use_weighting=True, weighted_pixs=jnp.asarray(w_padded),
+        weighted_thresh=0.25,
+    )
+    np.testing.assert_allclose(float(ours_e2), ref_e2, rtol=1e-5)

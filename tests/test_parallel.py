@@ -134,3 +134,37 @@ def test_multihost_helpers_single_process():
     assert shard_sweep(grid, process_id=1, process_count=2) == [1, 3, 5]
     # this process gets everything in single-process mode
     assert shard_sweep(grid) == grid
+
+
+def test_multihost_initialize_strict_on_explicit_config(monkeypatch):
+    """A misconfigured coordinator must RAISE (not silently degrade to
+    single-process) when explicit args are given; the zero-arg
+    auto-discovery path degrades with a warning; 'already initialized'
+    stays a no-op either way."""
+    import warnings
+
+    import jax
+    import pytest
+
+    from nerfca_tpu.parallel import multihost
+
+    def boom(**kw):
+        raise RuntimeError("connection to coordinator failed")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        multihost.initialize(coordinator_address="10.0.0.1:1234",
+                             num_processes=2, process_id=0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        info = multihost.initialize()
+    assert info["process_count"] == 1
+    assert any("single-process" in str(x.message) for x in w)
+
+    def already(**kw):
+        raise RuntimeError("backend already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    info = multihost.initialize(coordinator_address="10.0.0.1:1234",
+                                num_processes=2, process_id=0)
+    assert info["process_count"] == 1
