@@ -20,6 +20,7 @@ Modes (``pos_enc`` flag values, ``train/composite.txt:68-77``):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,8 +112,11 @@ def posenc(
     if mode == "fourier":
         if fourier_coefficients is None:
             raise ValueError("fourier mode requires fourier_coefficients")
+        # fixed buffer, not a trainable parameter: the reference never
+        # registers fourier_coefficients with the optimizer (CPPN.py:35-38)
+        coef = jax.lax.stop_gradient(fourier_coefficients)
         tiled = jnp.concatenate([x] * basis, axis=-1)
-        value = 2 * np.pi * tiled * fourier_coefficients
+        value = 2 * np.pi * tiled * coef
         return jnp.concatenate([jnp.sin(value), jnp.cos(value)], axis=-1)
 
     scales = 2.0 ** jnp.arange(basis, dtype=x.dtype)

@@ -36,8 +36,10 @@ more than anything else in profiling):
 
 Supported configs (callers fall back to the jnp path otherwise — see
 ``pallas_supported``): hidden width 128, no late/skip layers, 1 output
-channel, 3 input channels, windowed or 'none' encodings with
-3 + 6*basis <= 128, and tile a multiple of 1024 (XLA's 1-D f32 tiling).
+channel, 3 input channels, all four encodings ('none', both windowed
+modes, and 'fourier' — a diagonal per-channel scaling that maps onto the
+same F/phase machinery with zero raw rows) with encoded width <= 128, and
+tile a multiple of 1024 (XLA's 1-D f32 tiling).
 
 Reference math being fused: ``model/CPPN.py:88-135`` +
 ``model/Temporal.py:113-151`` (encode + MLP), SURVEY §2.1.
@@ -69,18 +71,46 @@ def pallas_supported(cfg: FieldConfig) -> bool:
         and cfg.num_late_layers == 0
         and cfg.num_output_channels == 1
         and cfg.num_input_channels == 3
-        and cfg.pos_enc in ("none", "free_windowed", "nerfies_windowed")
-        and 3 + 6 * cfg.pos_enc_basis <= WIDTH
+        and cfg.pos_enc in ("none", "free_windowed", "nerfies_windowed", "fourier")
+        and cfg.encoded_features <= WIDTH
         and cfg.num_time_dim <= LAT_ROWS
     )
+
+
+def _n_raw_rows(cfg: FieldConfig) -> int:
+    """Raw-coordinate passthrough rows: 3 for the windowed/plain modes,
+    0 for fourier (no passthrough, ``model/CPPN.py:115-118``)."""
+    return 0 if cfg.pos_enc == "fourier" else 3
 
 
 # ---------------------------------------------------------------------------
 # Parameter packing (differentiable jnp; AD maps padded grads back for free)
 
 
-def _encoding_constants(cfg: FieldConfig):
-    """[128, 3] frequency columns + [128, 1] phase offsets (feature-major)."""
+def _encoding_constants(cfg: FieldConfig, fourier=None):
+    """[128, 3] frequency columns + [128, 1] phase offsets (feature-major).
+
+    'fourier' mode is a diagonal per-channel scaling — feature j is
+    ``sin(2π coef[j] x_{j%3})`` (``model/CPPN.py:115-118``, the tiled
+    elementwise product) — so it maps onto the same F/phase machinery with
+    ``2π coef[j]`` at column ``j % 3`` and no raw-passthrough rows."""
+    if cfg.pos_enc == "fourier":
+        nb = 3 * cfg.pos_enc_basis  # fourier coefficient count
+        if fourier is None:
+            # zero coefficients: only legitimate for the zero-weight dummy
+            # fields used to reuse the composite kernel single-field
+            fourier = jnp.zeros((nb,), jnp.float32)
+        coef = 2.0 * np.pi * jnp.asarray(fourier, jnp.float32)  # [nb]
+        cols = np.zeros((WIDTH, 3), np.float32)
+        for j in range(nb):
+            cols[j, j % 3] = 1.0  # sin rows
+            cols[nb + j, j % 3] = 1.0  # cos rows
+        coef_full = jnp.zeros((WIDTH,), jnp.float32)
+        coef_full = coef_full.at[:nb].set(coef).at[nb : 2 * nb].set(coef)
+        F = jnp.asarray(cols) * coef_full[:, None]
+        phase = np.zeros((WIDTH, 1), np.float32)
+        phase[nb : 2 * nb, 0] = 0.5 * np.pi
+        return F, jnp.asarray(phase)
     basis = cfg.pos_enc_basis if cfg.pos_enc != "none" else 0
     F = np.zeros((WIDTH, 3), np.float32)
     phase = np.zeros((WIDTH, 1), np.float32)
@@ -95,7 +125,12 @@ def _encoding_constants(cfg: FieldConfig):
 
 def _window_mask(cfg: FieldConfig, window):
     """[128, 1] per-row annealing mask: 1 on raw rows, window[b] on band
-    rows, 0 on padding rows."""
+    rows, 0 on padding rows. Fourier features are never windowed (the
+    reference only anneals the windowed modes)."""
+    if cfg.pos_enc == "fourier":
+        mask = jnp.zeros((WIDTH,), jnp.float32)
+        mask = mask.at[: 6 * cfg.pos_enc_basis].set(1.0)
+        return mask[:, None]
     basis = cfg.pos_enc_basis if cfg.pos_enc != "none" else 0
     mask = jnp.zeros((WIDTH,), jnp.float32)
     mask = mask.at[:3].set(1.0)
@@ -126,9 +161,9 @@ def _pack_common(params):
 
 
 def _pack_static(params, cfg: FieldConfig, window):
-    F, phase = _encoding_constants(cfg)
+    F, phase = _encoding_constants(cfg, params.get("fourier"))
     wm = _window_mask(cfg, window)
-    enc_width = 3 + 6 * (cfg.pos_enc_basis if cfg.pos_enc != "none" else 0)
+    enc_width = cfg.encoded_features
     w1 = params["early"][0]["w"]  # [enc_width, 128]
     w1t = jnp.zeros((WIDTH, WIDTH), jnp.float32).at[:, :enc_width].set(
         w1[:enc_width].T
@@ -140,9 +175,9 @@ def _pack_static(params, cfg: FieldConfig, window):
 
 
 def _pack_temporal(params, cfg: FieldConfig, window):
-    F, phase = _encoding_constants(cfg)
+    F, phase = _encoding_constants(cfg, params.get("fourier"))
     wm = _window_mask(cfg, window)
-    enc_width = 3 + 6 * (cfg.pos_enc_basis if cfg.pos_enc != "none" else 0)
+    enc_width = cfg.encoded_features
     w1 = params["early"][0]["w"]  # [enc_width + D, 128]
     d = cfg.num_time_dim
     w1t = jnp.zeros((WIDTH, WIDTH), jnp.float32).at[:, :enc_width].set(
@@ -172,27 +207,32 @@ def _dotg(a, b, dims, dtype):
                                preferred_element_type=jnp.float32)
 
 
-def _encode_base(geom, F, phase):
-    """[8, T] geometry rows (x,y,z in rows 0-2) -> [128, T] unmasked encoding."""
+def _encode_base(geom, F, phase, n_raw):
+    """[8, T] geometry rows (x,y,z in rows 0-2) -> [128, T] unmasked encoding.
+
+    ``n_raw``: leading raw-passthrough rows (3 for windowed/plain modes,
+    0 for fourier)."""
     # P[f, t] = sum_c F[f, c] * x_c[t] — three broadcast multiply-adds
     P = (
         F[:, 0:1] * geom[0:1, :]
         + F[:, 1:2] * geom[1:2, :]
         + F[:, 2:3] * geom[2:3, :]
     )
+    if n_raw == 0:
+        return jnp.sin(P + phase)
     row = jax.lax.broadcasted_iota(jnp.int32, (WIDTH, 1), 0)
-    return jnp.where(row < 3, P, jnp.sin(P + phase))
+    return jnp.where(row < n_raw, P, jnp.sin(P + phase))
 
 
-def _both_encodings(geom, fs, phs, wms, ft, pht, wmt, share_enc):
+def _both_encodings(geom, fs, phs, wms, ft, pht, wmt, share_enc, raw_s, raw_t):
     """Encodings for both fields; with a shared basis (the flagship case)
     the expensive sin pass runs ONCE and only the window masks differ."""
     if share_enc:
-        base = _encode_base(geom, fs, phs)
+        base = _encode_base(geom, fs, phs, raw_s)
         return base * wms, base * wmt
     return (
-        _encode_base(geom, fs, phs) * wms,
-        _encode_base(geom, ft, pht) * wmt,
+        _encode_base(geom, fs, phs, raw_s) * wms,
+        _encode_base(geom, ft, pht, raw_t) * wmt,
     )
 
 
@@ -214,14 +254,15 @@ def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None,
     return out, pres, hs
 
 
-def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc,
+def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, raw_s, raw_t,
                 geom_ref, lat_ref,
                 fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                 ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
                 out_s, out_t):
     geom = geom_ref[:]
     enc_s, enc_t = _both_encodings(
-        geom, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc
+        geom, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc,
+        raw_s, raw_t,
     )
     o_s, _, _ = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:],
                              bos[:], dtype=dtype)
@@ -264,7 +305,7 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
     return out
 
 
-def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc,
+def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, raw_s, raw_t,
                 geom_ref, lat_ref,
                 fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                 ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
@@ -290,7 +331,8 @@ def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc,
 
     # recompute both encodings (shared sin pass when eligible)
     enc_s, enc_t = _both_encodings(
-        geom, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc
+        geom, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc,
+        raw_s, raw_t,
     )
 
     # static field: recompute forward, then backprop
@@ -358,27 +400,28 @@ def _dtype_from_name(name):
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _fused_core(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile,
-                dtype_name, share_enc):
+                dtype_name, share_enc, raw_s, raw_t):
     """Returns two [n] raw-density vectors. The row-0 slice of the padded
     kernel outputs happens INSIDE this custom-vjp boundary so its adjoint is
     never built (AD of an outside slice materializes padded cotangents)."""
     out_s, out_t = _fused_core_fwd_impl(
         geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name,
-        share_enc,
+        share_enc, raw_s, raw_t,
     )
     return out_s[0], out_t[0]
 
 
 def _fused_core_fwd_impl(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
-                         tile, dtype_name, share_enc):
+                         tile, dtype_name, share_enc, raw_s, raw_t):
     n = geom.shape[1]
     grid = (n // tile,)
     s_specs, s_vals = _pack_specs(s_pack, with_latent=False)
     t_specs, t_vals = _pack_specs(t_pack, with_latent=True)
     kernel = functools.partial(_fwd_kernel, n_hidden_s, n_hidden_t,
-                               _dtype_from_name(dtype_name), share_enc)
+                               _dtype_from_name(dtype_name), share_enc,
+                               raw_s, raw_t)
     out_s, out_t = pl.pallas_call(
         kernel,
         grid=grid,
@@ -395,16 +438,16 @@ def _fused_core_fwd_impl(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
 
 
 def _fused_core_fwd(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
-                    tile, dtype_name, share_enc):
+                    tile, dtype_name, share_enc, raw_s, raw_t):
     out_s, out_t = _fused_core_fwd_impl(
         geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name,
-        share_enc,
+        share_enc, raw_s, raw_t,
     )
     return (out_s[0], out_t[0]), (geom, lat, s_pack, t_pack)
 
 
 def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, share_enc,
-                    residuals, gouts):
+                    raw_s, raw_t, residuals, gouts):
     geom, lat, s_pack, t_pack = residuals
     g_s, g_t = gouts
     n = geom.shape[1]
@@ -450,7 +493,8 @@ def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, share_enc,
         _rep((GEOM_ROWS, 1)),
     ]
     kernel = functools.partial(_bwd_kernel, n_hidden_s, n_hidden_t,
-                               _dtype_from_name(dtype_name), share_enc)
+                               _dtype_from_name(dtype_name), share_enc,
+                               raw_s, raw_t)
     (dlat, dw1s, db1s, dwhs, dbhs, dwos, dbos,
      dw1t, dw1lt, db1t, dwht, dbht, dwot, dbot) = pl.pallas_call(
         kernel,
@@ -553,16 +597,23 @@ def fused_composite_fields_rays(
     t_pack = _pack_temporal(params_t, cfg_t, window_t)
     if compute_dtype == "bfloat16":
         s_pack, t_pack = _cast_weight_packs(s_pack), _cast_weight_packs(t_pack)
-    share_enc = (
-        cfg_s.pos_enc_basis == cfg_t.pos_enc_basis
-        and (cfg_s.pos_enc == "none") == (cfg_t.pos_enc == "none")
-    )
     out_s, out_t = _fused_core(
         geom, lat_fm, s_pack, t_pack,
         cfg_s.num_early_layers, cfg_t.num_early_layers, tile, compute_dtype,
-        share_enc,
+        _share_enc(cfg_s, cfg_t), _n_raw_rows(cfg_s), _n_raw_rows(cfg_t),
     )
     return out_s[:n].reshape(r, s, 1), out_t[:n].reshape(r, s, 1)
+
+
+def _share_enc(cfg_s: FieldConfig, cfg_t: FieldConfig) -> bool:
+    """One sin pass serves both fields when their frequency bases are
+    identical. Fourier bases are drawn per field, so never shared."""
+    return (
+        cfg_s.pos_enc_basis == cfg_t.pos_enc_basis
+        and (cfg_s.pos_enc == "none") == (cfg_t.pos_enc == "none")
+        and cfg_s.pos_enc != "fourier"
+        and cfg_t.pos_enc != "fourier"
+    )
 
 
 def _cast_weight_packs(pack):
@@ -630,14 +681,10 @@ def fused_composite_fields(
     t_pack = _pack_temporal(params_t, cfg_t, window_t)
     if compute_dtype == "bfloat16":
         s_pack, t_pack = _cast_weight_packs(s_pack), _cast_weight_packs(t_pack)
-    share_enc = (
-        cfg_s.pos_enc_basis == cfg_t.pos_enc_basis
-        and (cfg_s.pos_enc == "none") == (cfg_t.pos_enc == "none")
-    )
     out_s, out_t = _fused_core(
         geom, lat_fm, s_pack, t_pack,
         cfg_s.num_early_layers, cfg_t.num_early_layers, tile, compute_dtype,
-        share_enc,
+        _share_enc(cfg_s, cfg_t), _n_raw_rows(cfg_s), _n_raw_rows(cfg_t),
     )
     return out_s[:n].reshape(r, s, 1), out_t[:n].reshape(r, s, 1)
 

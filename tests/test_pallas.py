@@ -49,8 +49,15 @@ def test_supported_configs():
     assert ff.pallas_supported(cfg_s) and ff.pallas_supported(cfg_t)
     assert not ff.pallas_supported(dataclasses.replace(cfg_s, num_filters=64))
     assert not ff.pallas_supported(dataclasses.replace(cfg_s, num_late_layers=2))
-    assert not ff.pallas_supported(dataclasses.replace(cfg_s, pos_enc="fourier"))
+    assert ff.pallas_supported(dataclasses.replace(cfg_s, pos_enc="fourier"))
     assert not ff.pallas_supported(dataclasses.replace(cfg_s, pos_enc_basis=30))
+    # fourier width limit: 6*basis <= 128 -> basis 21 ok, 22 not
+    assert ff.pallas_supported(
+        dataclasses.replace(cfg_s, pos_enc="fourier", pos_enc_basis=21)
+    )
+    assert not ff.pallas_supported(
+        dataclasses.replace(cfg_s, pos_enc="fourier", pos_enc_basis=22)
+    )
 
 
 def test_forward_matches_reference():
@@ -263,3 +270,54 @@ def test_ray_form_gradients():
     gr = jax.grad(loss_ref, argnums=(0, 1))(params_s, params_t)
     for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3)
+
+
+def test_forward_fourier_encoding():
+    """Fourier mode in the kernel: diagonal per-channel scaling with no raw
+    rows and no window, matching the jnp path (model/CPPN.py:115-118)."""
+    kw = dict(
+        num_early_layers=2, num_filters=128,
+        pos_enc="fourier", pos_enc_basis=6, fourier_sigma=1.5,
+    )
+    cfg_s = FieldConfig(**kw)
+    cfg_t = FieldConfig(use_time_latents=True, num_time_dim=8, **kw)
+    params_s = init_static_field(jax.random.PRNGKey(11), cfg_s)
+    params_t = init_temporal_field(jax.random.PRNGKey(12), cfg_t)
+    points, phases = make_inputs(r=2, s=64)
+    raw_s, raw_t = ff.fused_composite_fields(
+        params_s, params_t, points, phases, cfg_s, cfg_t, None, None, tile=128
+    )
+    ref_s = apply_static_field(params_s, points, cfg_s)
+    ref_t = apply_temporal_field(params_t, points, phases, cfg_t)
+    np.testing.assert_allclose(np.asarray(raw_s), np.asarray(ref_s), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(raw_t), np.asarray(ref_t), atol=2e-4)
+
+
+def test_gradients_fourier_encoding():
+    kw = dict(
+        num_early_layers=1, num_filters=128,
+        pos_enc="fourier", pos_enc_basis=4, fourier_sigma=1.0,
+    )
+    cfg_s = FieldConfig(**kw)
+    cfg_t = FieldConfig(use_time_latents=True, num_time_dim=8, **kw)
+    params_s = init_static_field(jax.random.PRNGKey(13), cfg_s)
+    params_t = init_temporal_field(jax.random.PRNGKey(14), cfg_t)
+    points, phases = make_inputs(r=2, s=64, seed=5)
+
+    def loss_fused(ps, pt):
+        raw_s, raw_t = ff.fused_composite_fields(
+            ps, pt, points, phases, cfg_s, cfg_t, None, None, tile=128
+        )
+        return jnp.sum(raw_s**2) + jnp.sum(raw_t * raw_s)
+
+    def loss_ref(ps, pt):
+        raw_s = apply_static_field(ps, points, cfg_s)
+        raw_t = apply_temporal_field(pt, points, phases, cfg_t)
+        return jnp.sum(raw_s**2) + jnp.sum(raw_t * raw_s)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(params_s, params_t)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params_s, params_t)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        )
