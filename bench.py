@@ -32,6 +32,68 @@ WARMUP_CHUNKS = 1
 TIMED_CHUNKS = 5
 
 
+def _kernel_correctness_check(params, cfgs, hp) -> str:
+    """Compiled-Mosaic vs plain-XLA agreement on REAL hardware: loss and
+    grads of the composite objective from identical state, fused and
+    unfused, must match within f32 kernel tolerance. Catches any
+    Mosaic-vs-interpret divergence (layout, dtype, accumulation) that the
+    CPU interpret-mode tests cannot see. Runs on small shapes so the two
+    extra graphs compile quickly through the remote tunnel."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfca_tpu.ops.sampling import linspace_depths
+    from nerfca_tpu.train.step import composite_loss_fn
+
+    r, s = 256, 100
+    hp_fused = dataclasses.replace(
+        hp, img_sample_size=r, depth_samples_coarse=s,
+        use_pallas=True, pallas_tile=1024,
+    )
+    hp_ref = dataclasses.replace(hp_fused, use_pallas=False)
+
+    key = jax.random.PRNGKey(42)
+    ks = jax.random.split(key, 3)
+    batch = {
+        "origins": jnp.full((r, 3), jnp.asarray([4.5, 0.0, 0.0])),
+        "directions": jax.random.normal(ks[0], (r, 3)) * 0.02
+        + jnp.asarray([-1.0, 0.0, 0.0]),
+        "pixels": jax.random.uniform(ks[1], (r,)) * 0.05 + 2.1,
+        "weights": jnp.ones((r,)),
+        "phases": jax.random.randint(ks[2], (r,), 0, 10),
+        "initial_intensities": jnp.full((r,), 2.16),
+    }
+    z = linspace_depths(3.6, 5.4, s)
+    step = jnp.asarray(1234, jnp.int32)
+
+    def make(hp_x):
+        def loss(p):
+            return composite_loss_fn(p, batch, z, step, cfgs, hp_x)[0]
+
+        return jax.jit(jax.value_and_grad(loss))
+
+    lf, gf = make(hp_fused)(params)
+    lr, gr = make(hp_ref)(params)
+    lf, lr = float(lf), float(lr)
+    assert abs(lf - lr) <= 1e-3 * max(abs(lr), 1e-6), (
+        f"fused/unfused LOSS divergence on hardware: {lf} vs {lr}"
+    )
+    flat_f = jax.tree_util.tree_flatten_with_path(gf)[0]
+    flat_r = jax.tree.leaves(gr)
+    for (path, a), b in zip(flat_f, flat_r):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(float(np.abs(b).max()), 1e-8)
+        err = float(np.abs(a - b).max()) / scale
+        assert err < 5e-3, (
+            f"fused/unfused GRAD divergence at {jax.tree_util.keystr(path)}: "
+            f"rel {err:.2e} (scale {scale:.2e})"
+        )
+    return "ok"
+
+
 
 
 def main() -> None:
@@ -52,8 +114,11 @@ def main() -> None:
 
     params, cfgs, hp = _flagship_setup()
     # fused Pallas field kernels on accelerators; plain XLA on CPU
+    kernel_check = "skipped-cpu"
     if jax.default_backend() != "cpu":
         hp = dataclasses.replace(hp, use_pallas=True, pallas_tile=1024)
+        # every recorded bench implicitly certifies the compiled kernel
+        kernel_check = _kernel_correctness_check(params, cfgs, hp)
     tx = make_optimizer(1e-3, 0.01, 150000)
     state = TrainState(
         params=params,
@@ -102,6 +167,7 @@ def main() -> None:
                 "vs_baseline": round(
                     float(rays_per_sec / PYTORCH_REFERENCE_RAYS_PER_SEC), 3
                 ),
+                "kernel_check": kernel_check,
             }
         )
     )
