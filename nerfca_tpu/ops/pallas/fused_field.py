@@ -83,6 +83,15 @@ def _n_raw_rows(cfg: FieldConfig) -> int:
     return 0 if cfg.pos_enc == "fourier" else 3
 
 
+def _enc_rows(cfg: FieldConfig) -> int:
+    """Used encoding rows, rounded up to the f32 sublane tile (8). The
+    kernels compute the encoding (and its expensive sin pass) on exactly
+    these rows instead of the full 128 — at the flagship basis 12 that is
+    80 rows vs 128, a 38% cut of the VPU work that dominates the step
+    (BENCH.md: the op is VPU-bound on sin, not MXU-bound)."""
+    return min(WIDTH, ((cfg.encoded_features + 7) // 8) * 8)
+
+
 # ---------------------------------------------------------------------------
 # Parameter packing (differentiable jnp; AD maps padded grads back for free)
 
@@ -207,39 +216,47 @@ def _dotg(a, b, dims, dtype):
                                preferred_element_type=jnp.float32)
 
 
-def _encode_base(geom, F, phase, n_raw):
-    """[8, T] geometry rows (x,y,z in rows 0-2) -> [128, T] unmasked encoding.
+def _encode_base(geom, F, phase, n_raw, rows):
+    """[8, T] geometry rows (x,y,z in rows 0-2) -> [rows, T] unmasked
+    encoding. Only the USED rows (``rows`` = encoded width rounded to the
+    sublane tile) are computed — the sin pass is the kernel's dominant VPU
+    cost and padding rows would waste 40% of it at the flagship basis.
 
     ``n_raw``: leading raw-passthrough rows (3 for windowed/plain modes,
     0 for fourier)."""
+    Fr = F[:rows, :]
     # P[f, t] = sum_c F[f, c] * x_c[t] — three broadcast multiply-adds
     P = (
-        F[:, 0:1] * geom[0:1, :]
-        + F[:, 1:2] * geom[1:2, :]
-        + F[:, 2:3] * geom[2:3, :]
+        Fr[:, 0:1] * geom[0:1, :]
+        + Fr[:, 1:2] * geom[1:2, :]
+        + Fr[:, 2:3] * geom[2:3, :]
     )
     if n_raw == 0:
-        return jnp.sin(P + phase)
-    row = jax.lax.broadcasted_iota(jnp.int32, (WIDTH, 1), 0)
-    return jnp.where(row < n_raw, P, jnp.sin(P + phase))
+        return jnp.sin(P + phase[:rows, :])
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    return jnp.where(row < n_raw, P, jnp.sin(P + phase[:rows, :]))
 
 
-def _both_encodings(geom, fs, phs, wms, ft, pht, wmt, share_enc, raw_s, raw_t):
+def _both_encodings(geom, fs, phs, wms, ft, pht, wmt, share_enc,
+                    raw_s, raw_t, rows_s, rows_t):
     """Encodings for both fields; with a shared basis (the flagship case)
     the expensive sin pass runs ONCE and only the window masks differ."""
     if share_enc:
-        base = _encode_base(geom, fs, phs, raw_s)
-        return base * wms, base * wmt
+        base = _encode_base(geom, fs, phs, raw_s, rows_s)
+        return base * wms[:rows_s, :], base * wmt[:rows_t, :]
     return (
-        _encode_base(geom, fs, phs, raw_s) * wms,
-        _encode_base(geom, ft, pht, raw_t) * wmt,
+        _encode_base(geom, fs, phs, raw_s, rows_s) * wms[:rows_s, :],
+        _encode_base(geom, ft, pht, raw_t, rows_t) * wmt[:rows_t, :],
     )
 
 
 def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None,
                  dtype=jnp.float32):
-    """Returns (out [8, T], pre-activations list, h list) for backprop."""
-    pre1 = _dot(w1, enc, dtype) + b1
+    """Returns (out [8, T], pre-activations list, h list) for backprop.
+
+    ``enc`` may be row-restricted ([rows, T], rows <= 128); the first-layer
+    weight is sliced to match (MXU pads the contraction internally)."""
+    pre1 = _dot(w1[:, : enc.shape[0]], enc, dtype) + b1
     if lat is not None:
         pre1 = pre1 + _dot(w1l, lat, dtype)
     pres = [pre1]
@@ -255,6 +272,7 @@ def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None,
 
 
 def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, raw_s, raw_t,
+                rows_s, rows_t,
                 geom_ref, lat_ref,
                 fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                 ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
@@ -262,16 +280,18 @@ def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, raw_s, raw_t,
     geom = geom_ref[:]
     enc_s, enc_t = _both_encodings(
         geom, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc,
-        raw_s, raw_t,
+        raw_s, raw_t, rows_s, rows_t,
     )
     o_s, _, _ = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:],
                              bos[:], dtype=dtype)
-    out_s[:] = o_s
+    # 1-D [T] output (row 0 is the density) — writing the padded [8, T]
+    # block cost 28 MB/step of pure-padding HBM writes
+    out_s[:] = o_s[0]
     o_t, _, _ = _mlp_forward(
         enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:],
         lat=lat_ref[:], w1l=w1lt[:], dtype=dtype,
     )
-    out_t[:] = o_t
+    out_t[:] = o_t[0]
 
 
 def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
@@ -293,7 +313,11 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
         dbh.append(jnp.sum(dpre, axis=1, keepdims=True))
         dh = _dotg(wh[l], dpre, cF, dtype)
     dpre1 = dh * (pres[0] > 0)
-    dw1 = _dotg(dpre1, enc, cT, dtype)  # [128, 128]
+    dw1 = _dotg(dpre1, enc, cT, dtype)  # [128, rows]
+    rows = enc.shape[0]
+    if rows < WIDTH:
+        # pad back to the [128, 128] accumulator layout
+        dw1 = jnp.pad(dw1, ((0, 0), (0, WIDTH - rows)))
     db1 = jnp.sum(dpre1, axis=1, keepdims=True)
     out = {"wo": dwo, "bo": dbo, "w1": dw1, "b1": db1}
     if n_hidden:
@@ -306,6 +330,7 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
 
 
 def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, raw_s, raw_t,
+                rows_s, rows_t,
                 geom_ref, lat_ref,
                 fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                 ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
@@ -332,7 +357,7 @@ def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, raw_s, raw_t,
     # recompute both encodings (shared sin pass when eligible)
     enc_s, enc_t = _both_encodings(
         geom, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc,
-        raw_s, raw_t,
+        raw_s, raw_t, rows_s, rows_t,
     )
 
     # static field: recompute forward, then backprop
@@ -400,35 +425,35 @@ def _dtype_from_name(name):
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _fused_core(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile,
-                dtype_name, share_enc, raw_s, raw_t):
-    """Returns two [n] raw-density vectors. The row-0 slice of the padded
-    kernel outputs happens INSIDE this custom-vjp boundary so its adjoint is
-    never built (AD of an outside slice materializes padded cotangents)."""
-    out_s, out_t = _fused_core_fwd_impl(
+                dtype_name, share_enc, raw_s, raw_t, rows_s, rows_t):
+    """Returns two [n] raw-density vectors (the kernels write 1-D directly;
+    the custom-vjp boundary keeps AD from ever materializing padded
+    cotangents)."""
+    return _fused_core_fwd_impl(
         geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name,
-        share_enc, raw_s, raw_t,
+        share_enc, raw_s, raw_t, rows_s, rows_t,
     )
-    return out_s[0], out_t[0]
 
 
 def _fused_core_fwd_impl(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
-                         tile, dtype_name, share_enc, raw_s, raw_t):
+                         tile, dtype_name, share_enc, raw_s, raw_t,
+                         rows_s, rows_t):
     n = geom.shape[1]
     grid = (n // tile,)
     s_specs, s_vals = _pack_specs(s_pack, with_latent=False)
     t_specs, t_vals = _pack_specs(t_pack, with_latent=True)
     kernel = functools.partial(_fwd_kernel, n_hidden_s, n_hidden_t,
                                _dtype_from_name(dtype_name), share_enc,
-                               raw_s, raw_t)
+                               raw_s, raw_t, rows_s, rows_t)
     out_s, out_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[_fm_tiled(GEOM_ROWS, tile), _fm_tiled(LAT_ROWS, tile),
                   *s_specs, *t_specs],
-        out_specs=[_fm_tiled(GEOM_ROWS, tile), _fm_tiled(GEOM_ROWS, tile)],
-        out_shape=[jax.ShapeDtypeStruct((GEOM_ROWS, n), jnp.float32)] * 2,
+        out_specs=[_vec_tiled(tile), _vec_tiled(tile)],
+        out_shape=[jax.ShapeDtypeStruct((n,), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -438,16 +463,17 @@ def _fused_core_fwd_impl(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
 
 
 def _fused_core_fwd(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
-                    tile, dtype_name, share_enc, raw_s, raw_t):
+                    tile, dtype_name, share_enc, raw_s, raw_t,
+                    rows_s, rows_t):
     out_s, out_t = _fused_core_fwd_impl(
         geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name,
-        share_enc, raw_s, raw_t,
+        share_enc, raw_s, raw_t, rows_s, rows_t,
     )
-    return (out_s[0], out_t[0]), (geom, lat, s_pack, t_pack)
+    return (out_s, out_t), (geom, lat, s_pack, t_pack)
 
 
 def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, share_enc,
-                    raw_s, raw_t, residuals, gouts):
+                    raw_s, raw_t, rows_s, rows_t, residuals, gouts):
     geom, lat, s_pack, t_pack = residuals
     g_s, g_t = gouts
     n = geom.shape[1]
@@ -494,7 +520,7 @@ def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, share_enc,
     ]
     kernel = functools.partial(_bwd_kernel, n_hidden_s, n_hidden_t,
                                _dtype_from_name(dtype_name), share_enc,
-                               raw_s, raw_t)
+                               raw_s, raw_t, rows_s, rows_t)
     (dlat, dw1s, db1s, dwhs, dbhs, dwos, dbos,
      dw1t, dw1lt, db1t, dwht, dbht, dwot, dbot) = pl.pallas_call(
         kernel,
@@ -601,6 +627,7 @@ def fused_composite_fields_rays(
         geom, lat_fm, s_pack, t_pack,
         cfg_s.num_early_layers, cfg_t.num_early_layers, tile, compute_dtype,
         _share_enc(cfg_s, cfg_t), _n_raw_rows(cfg_s), _n_raw_rows(cfg_t),
+        _enc_rows(cfg_s), _enc_rows(cfg_t),
     )
     return out_s[:n].reshape(r, s, 1), out_t[:n].reshape(r, s, 1)
 
@@ -685,6 +712,7 @@ def fused_composite_fields(
         geom, lat_fm, s_pack, t_pack,
         cfg_s.num_early_layers, cfg_t.num_early_layers, tile, compute_dtype,
         _share_enc(cfg_s, cfg_t), _n_raw_rows(cfg_s), _n_raw_rows(cfg_t),
+        _enc_rows(cfg_s), _enc_rows(cfg_t),
     )
     return out_s[:n].reshape(r, s, 1), out_t[:n].reshape(r, s, 1)
 

@@ -83,6 +83,87 @@ def load_checkpoint(directory: str, example_state: TrainState) -> TrainState:
     )
 
 
+class CheckpointManager:
+    """Retention policy around :func:`save_checkpoint`.
+
+    Layout under ``root``:
+      - ``checkpoint-<step>``: rolling history, last ``keep_last_n`` kept
+      - ``checkpoint``: symlink to the latest (the stable resume path)
+      - ``checkpoint-best``: symlink to the best-by-metric checkpoint
+        (metric reported by the caller, e.g. ``test_image_psnr``)
+
+    The reference overwrites one ``.pth`` set every ``save_every`` iters
+    (``run_composite.py:450-461``); this is the superset retention the
+    framework's resume/eval paths want.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        keep_last_n: int = 3,
+        maximize: bool = True,
+    ) -> None:
+        self.root = os.path.abspath(root)
+        self.keep_last_n = max(1, keep_last_n)
+        self.maximize = maximize
+        self.best_metric: Optional[float] = None
+        self.best_step: Optional[int] = None
+
+    def _link(self, name: str, target_dir: str) -> None:
+        path = os.path.join(self.root, name)
+        if os.path.islink(path):
+            os.unlink(path)
+        elif os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.symlink(os.path.basename(target_dir), path)
+
+    def save(
+        self,
+        state: TrainState,
+        cfgs: Optional[dict] = None,
+        run_metadata: Optional[dict] = None,
+        metric: Optional[float] = None,
+    ) -> str:
+        os.makedirs(self.root, exist_ok=True)
+        step = int(np.asarray(state.step))
+        directory = os.path.join(self.root, f"checkpoint-{step}")
+        save_checkpoint(directory, state, cfgs, run_metadata)
+        self._link("checkpoint", directory)
+
+        if metric is not None and (
+            self.best_metric is None
+            or (metric > self.best_metric) == self.maximize
+        ):
+            self.best_metric, self.best_step = float(metric), step
+            self._link("checkpoint-best", directory)
+
+        self._prune()
+        return directory
+
+    def _steps_on_disk(self) -> list[int]:
+        steps = []
+        for name in os.listdir(self.root):
+            prefix = "checkpoint-"
+            if name.startswith(prefix) and name[len(prefix):].isdigit():
+                steps.append(int(name[len(prefix):]))
+        return sorted(steps)
+
+    def _prune(self) -> None:
+        import shutil
+
+        keep = set(self._steps_on_disk()[-self.keep_last_n:])
+        if self.best_step is not None:
+            keep.add(self.best_step)
+        for step in self._steps_on_disk():
+            if step not in keep:
+                shutil.rmtree(
+                    os.path.join(self.root, f"checkpoint-{step}"),
+                    ignore_errors=True,
+                )
+
+
 def load_field_configs(directory: str) -> dict[str, FieldConfig]:
     """Rebuild the FieldConfig dict from checkpoint metadata."""
     with open(os.path.join(directory, "metadata.json")) as f:

@@ -173,6 +173,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train steps per jitted scan chunk (default: log_every)")
     p.add_argument("--resume_from", type=str, default=None,
                    help="checkpoint directory to resume training from")
+    p.add_argument("--keep_last_n_checkpoints", type=int, default=3,
+                   help="rolling checkpoint history size (the best-by-"
+                        "metric checkpoint is always retained)")
     p.add_argument("--volume_root", type=str, default=None,
                    help="directory with <phase>/full_volume_tigre.npy volumes")
     p.add_argument("--synth_vol_size", type=int, default=64)

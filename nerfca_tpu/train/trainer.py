@@ -37,7 +37,11 @@ from nerfca_tpu.models.fields import (
 )
 from nerfca_tpu.ops.sampling import linspace_depths, stratify_depths
 from nerfca_tpu.train import evaluation
-from nerfca_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+from nerfca_tpu.train.checkpoint import (
+    CheckpointManager,
+    load_checkpoint,
+    save_checkpoint,
+)
 from nerfca_tpu.train.config import parse_args
 from nerfca_tpu.train.logging import MetricsLogger, make_log_dir
 from nerfca_tpu.utils.profiling import enable_compilation_cache
@@ -373,6 +377,8 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
             return True
         return False
 
+    last_eval = {}  # feeds best-by-metric checkpoint retention
+
     def eval_fn(state, step):
         render = evaluation.render_test_view(
             state.params,
@@ -389,6 +395,7 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
         tm = evaluation.test_metrics(
             render, test_view["image"], step, hp, img_shape=test_view["shape"]
         )
+        last_eval.update(tm)
         logger.log(tm, step=step)
         w, h = test_view["shape"]
         norm = evaluation.normalize01
@@ -413,12 +420,16 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
             f"test_psnr={tm['test_psnr']:.3f} image_psnr={tm['test_image_psnr']:.3f}"
         )
 
+    ckpt_mgr = CheckpointManager(
+        log_dir, keep_last_n=getattr(args, "keep_last_n_checkpoints", 3)
+    )
+
     def save_fn(state, step):
-        save_checkpoint(
-            os.path.join(log_dir, "checkpoint"),
+        ckpt_mgr.save(
             state,
             cfgs,
             run_metadata={"data_name": args.data_name, "step": int(state.step)},
+            metric=last_eval.get("test_image_psnr"),
         )
 
     state = _chunked_train_loop(
@@ -509,6 +520,8 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
 
     n_total = (max_steps if max_steps is not None else args.n_iters) + 1
 
+    last_eval = {}  # feeds best-by-metric checkpoint retention
+
     def eval_fn(state, step):
         # in-loop test render (run_nerf.py:254-287)
         render = evaluation.render_static_test_view(
@@ -532,6 +545,7 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
                 pred.reshape(w, h), gt.reshape(w, h)
             ),
         }
+        last_eval.update(tm)
         logger.log(tm, step=step)
         norm = evaluation.normalize01
         logger.log_images(
@@ -546,12 +560,16 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
         )
         print(f"step {step}: test_psnr={tm['test_psnr']:.3f}")
 
+    ckpt_mgr = CheckpointManager(
+        log_dir, keep_last_n=getattr(args, "keep_last_n_checkpoints", 3)
+    )
+
     def save_fn(state, step):
-        save_checkpoint(
-            os.path.join(log_dir, "checkpoint"),
+        ckpt_mgr.save(
             state,
             {"static": cfg},
             run_metadata={"data_name": args.data_name, "step": int(state.step)},
+            metric=last_eval.get("test_image_psnr"),
         )
 
     state = _chunked_train_loop(

@@ -1,0 +1,88 @@
+"""Measure composite-step time across fused-kernel variants on the TPU.
+
+Chains measurements through donated state in ONE process (identical-input
+calls through the axon executor get deduplicated — see TODO.md), compiling
+progressively. Usage:
+
+    python scripts/tpu_kernel_sweep.py [tile ...]   # default: 1024 512 2048
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_setup
+    from nerfca_tpu.ops.sampling import linspace_depths
+    from nerfca_tpu.train.step import (
+        TrainState,
+        make_composite_train_step,
+        make_optimizer,
+        make_train_chunk,
+    )
+
+    params, cfgs, hp = _flagship_setup()
+    hp = dataclasses.replace(hp, use_pallas=True, pallas_tile=tile)
+    tx = make_optimizer(1e-3, 0.01, 150000)
+    state = TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(0),
+    )
+    z = linspace_depths(3.6, 5.4, hp.depth_samples_coarse)
+    train_step = make_composite_train_step(cfgs, hp, tx, z, 2.16)
+    single = jax.jit(train_step, donate_argnums=(0,))
+    chunk = jax.jit(make_train_chunk(train_step, steps_per_chunk),
+                    donate_argnums=(0,))
+
+    n_rays = 200 * 200 * 10
+    key = jax.random.PRNGKey(1)
+    rays = jax.random.uniform(key, (n_rays, 4, 3), jnp.float32)
+    rays = rays.at[:, 3, :].set(1.0)
+    phases = jax.random.randint(key, (n_rays,), 0, 10)
+    var_ids = jnp.arange(n_rays // 2, dtype=jnp.int32)
+    non_var_ids = jnp.arange(n_rays // 2, n_rays, dtype=jnp.int32)
+
+    t0 = time.time()
+    state, m = single(state, rays, phases, var_ids, non_var_ids)
+    jax.block_until_ready(m["train_loss"])
+    print(f"  tile {tile}: single-step compile+run {time.time()-t0:.0f}s")
+    t0 = time.time()
+    state, m = chunk(state, rays, phases, var_ids, non_var_ids)
+    jax.block_until_ready(state.params)
+    print(f"  tile {tile}: chunk compile+run {time.time()-t0:.0f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(timed_chunks):
+        state, m = chunk(state, rays, phases, var_ids, non_var_ids)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    ms = dt / (timed_chunks * steps_per_chunk) * 1e3
+    rps = hp.img_sample_size / (ms / 1e3)
+    print(json.dumps({"tile": tile, "ms_per_step": round(ms, 3),
+                      "rays_per_sec": round(rps)}))
+    return ms
+
+
+def main():
+    tiles = [int(t) for t in sys.argv[1:]] or [1024, 512, 2048]
+    results = {}
+    for t in tiles:
+        try:
+            results[t] = measure(t)
+        except Exception as e:  # keep sweeping other tiles
+            print(f"  tile {t} FAILED: {type(e).__name__}: {e}")
+    print("SUMMARY", json.dumps({str(k): round(v, 3) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

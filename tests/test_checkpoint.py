@@ -84,3 +84,35 @@ def test_field_config_metadata_roundtrip(tmp_path):
     assert set(loaded) == {"static", "temp", "static_fine", "temp_fine"}
     assert loaded["static"] == cfgs["static"]
     assert loaded["temp_fine"].num_filters == 8
+
+
+def test_checkpoint_manager_retention(tmp_path):
+    """keep-last-N rolling history + best-by-metric retention + the stable
+    'checkpoint' symlink the resume/eval paths read."""
+    import os
+
+    from nerfca_tpu.train.checkpoint import CheckpointManager
+
+    cfgs = tiny_cfgs()
+    tx = make_optimizer(1e-3, 0.01, 100)
+    state = make_state(cfgs, tx)
+    mgr = CheckpointManager(str(tmp_path), keep_last_n=2)
+
+    import jax.numpy as jnp
+
+    metrics = [10.0, 30.0, 20.0, 25.0]  # best lands at step 1
+    for i, m in enumerate(metrics):
+        st = state._replace(step=jnp.asarray(i, jnp.int32))
+        mgr.save(st, cfgs, metric=m)
+
+    names = sorted(os.listdir(tmp_path))
+    # last 2 steps (2, 3) plus the best (1); step 0 pruned
+    assert "checkpoint-2" in names and "checkpoint-3" in names
+    assert "checkpoint-1" in names and "checkpoint-0" not in names
+    assert os.path.islink(os.path.join(tmp_path, "checkpoint"))
+    assert os.readlink(os.path.join(tmp_path, "checkpoint")) == "checkpoint-3"
+    assert os.readlink(os.path.join(tmp_path, "checkpoint-best")) == "checkpoint-1"
+
+    # the stable path restores the LATEST state
+    restored = load_checkpoint(str(tmp_path / "checkpoint"), make_state(cfgs, tx))
+    assert int(restored.step) == 3
