@@ -23,16 +23,19 @@ more than anything else in profiling):
   - The per-point time latents are likewise [8, N] (one [10,8]x[8,N]
     matmul from a transposed one-hot; its adjoint is another thin matmul
     instead of a 512k-row scatter).
-  - Raw density outputs are 1-D [N] (T(1024) layout), sliced from the
-    in-VMEM [8, T] result INSIDE the custom-vjp boundary so AD never
-    materializes padded [N, 8] cotangents.
+  - Raw density outputs are written 1-D [N] (T(1024) layout) directly by
+    the kernels (a padded [8, N] block would be 28 MB/step of pure-padding
+    HBM writes), and the custom-vjp boundary keeps AD from materializing
+    padded cotangents.
   - Activations inside VMEM are feature-major [128, T]; every layer is a
-    [128, 128] x [128, T] MXU matmul. The encoding is computed as three
-    broadcast multiply-adds against constant frequency columns followed by
-    ONE sin pass with per-row phase offsets (sin/cos together); when both
-    fields share a basis (the flagship case) the sin pass runs once and
-    only the per-field annealing window masks differ — the kernels are
-    VPU-bound on sin, not MXU-bound.
+    [128, 128] x [128, T] MXU matmul. The band encoding is computed on the
+    USED rows only ([rows<=80, T], not 128) via ONE base-frequency
+    sin/cos pass plus the exact double-angle recurrence per higher band
+    (two FMAs/band instead of a transcendental per row — the kernels are
+    VPU-bound on transcendentals, not MXU-bound); when both fields share a
+    basis (the flagship case) the encoding is computed once and only the
+    per-field annealing window masks differ. Fourier mode keeps the direct
+    sin path (arbitrary frequencies).
 
 Supported configs (callers fall back to the jnp path otherwise — see
 ``pallas_supported``): hidden width 128, no late/skip layers, 1 output
@@ -90,6 +93,12 @@ def _enc_rows(cfg: FieldConfig) -> int:
     80 rows vs 128, a 38% cut of the VPU work that dominates the step
     (BENCH.md: the op is VPU-bound on sin, not MXU-bound)."""
     return min(WIDTH, ((cfg.encoded_features + 7) // 8) * 8)
+
+
+def _enc_spec(cfg: FieldConfig) -> tuple:
+    """Static (n_raw, rows, basis) tuple threaded into the kernels."""
+    basis = cfg.pos_enc_basis if cfg.pos_enc != "none" else 0
+    return (_n_raw_rows(cfg), _enc_rows(cfg), basis)
 
 
 # ---------------------------------------------------------------------------
@@ -216,37 +225,63 @@ def _dotg(a, b, dims, dtype):
                                preferred_element_type=jnp.float32)
 
 
-def _encode_base(geom, F, phase, n_raw, rows):
+def _encode_base(geom, F, phase, spec):
     """[8, T] geometry rows (x,y,z in rows 0-2) -> [rows, T] unmasked
-    encoding. Only the USED rows (``rows`` = encoded width rounded to the
-    sublane tile) are computed — the sin pass is the kernel's dominant VPU
+    encoding. ``spec`` = (n_raw, rows, basis) static per-field tuple; only
+    the USED rows (``rows`` = encoded width rounded to the sublane tile)
+    are computed — the transcendental pass is the kernel's dominant VPU
     cost and padding rows would waste 40% of it at the flagship basis.
 
-    ``n_raw``: leading raw-passthrough rows (3 for windowed/plain modes,
-    0 for fourier)."""
-    Fr = F[:rows, :]
-    # P[f, t] = sum_c F[f, c] * x_c[t] — three broadcast multiply-adds
-    P = (
-        Fr[:, 0:1] * geom[0:1, :]
-        + Fr[:, 1:2] * geom[1:2, :]
-        + Fr[:, 2:3] * geom[2:3, :]
-    )
+    Two regimes:
+      - fourier (n_raw == 0): arbitrary per-row frequencies -> must
+        evaluate ``sin`` directly from the F/phase constants;
+      - band encodings (n_raw == 3): frequencies are exactly 2^b, so
+        ``sin``/``cos`` are evaluated ONCE at the base frequency and every
+        higher band comes from the double-angle recurrence
+        (sin 2t = 2 sin t cos t, cos 2t = 1 - 2 sin^2 t) — two FMAs per
+        band instead of a transcendental per row. The recurrence is exact
+        math; float error compounds ~linearly in basis (<=1e-6 absolute at
+        basis 12), far inside kernel tolerance.
+    """
+    n_raw, rows, basis = spec
     if n_raw == 0:
+        Fr = F[:rows, :]
+        P = (
+            Fr[:, 0:1] * geom[0:1, :]
+            + Fr[:, 1:2] * geom[1:2, :]
+            + Fr[:, 2:3] * geom[2:3, :]
+        )
         return jnp.sin(P + phase[:rows, :])
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    return jnp.where(row < n_raw, P, jnp.sin(P + phase[:rows, :]))
+
+    x = geom[0:3, :]
+    pieces = [x]
+    if basis > 0:
+        s = jnp.sin(x)
+        c = jnp.cos(x)
+        pieces.append(s)
+        pieces.append(c)
+        for _ in range(1, basis):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            pieces.append(s)
+            pieces.append(c)
+    used = 3 + 6 * basis
+    if rows > used:
+        pieces.append(jnp.zeros((rows - used, geom.shape[1]), geom.dtype))
+    return jnp.concatenate(pieces, axis=0)
 
 
 def _both_encodings(geom, fs, phs, wms, ft, pht, wmt, share_enc,
-                    raw_s, raw_t, rows_s, rows_t):
+                    spec_s, spec_t):
     """Encodings for both fields; with a shared basis (the flagship case)
-    the expensive sin pass runs ONCE and only the window masks differ."""
+    the base transcendental pass runs ONCE and only the window masks
+    differ."""
+    rows_s, rows_t = spec_s[1], spec_t[1]
     if share_enc:
-        base = _encode_base(geom, fs, phs, raw_s, rows_s)
+        base = _encode_base(geom, fs, phs, spec_s)
         return base * wms[:rows_s, :], base * wmt[:rows_t, :]
     return (
-        _encode_base(geom, fs, phs, raw_s, rows_s) * wms[:rows_s, :],
-        _encode_base(geom, ft, pht, raw_t, rows_t) * wmt[:rows_t, :],
+        _encode_base(geom, fs, phs, spec_s) * wms[:rows_s, :],
+        _encode_base(geom, ft, pht, spec_t) * wmt[:rows_t, :],
     )
 
 
@@ -271,8 +306,7 @@ def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None,
     return out, pres, hs
 
 
-def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, raw_s, raw_t,
-                rows_s, rows_t,
+def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
                 geom_ref, lat_ref,
                 fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                 ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
@@ -280,7 +314,7 @@ def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, raw_s, raw_t,
     geom = geom_ref[:]
     enc_s, enc_t = _both_encodings(
         geom, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc,
-        raw_s, raw_t, rows_s, rows_t,
+        spec_s, spec_t,
     )
     o_s, _, _ = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:],
                              bos[:], dtype=dtype)
@@ -329,8 +363,7 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
     return out
 
 
-def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, raw_s, raw_t,
-                rows_s, rows_t,
+def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
                 geom_ref, lat_ref,
                 fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                 ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
@@ -354,10 +387,10 @@ def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, raw_s, raw_t,
                     dwot_ref, dbot_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    # recompute both encodings (shared sin pass when eligible)
+    # recompute both encodings (shared base pass when eligible)
     enc_s, enc_t = _both_encodings(
         geom, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc,
-        raw_s, raw_t, rows_s, rows_t,
+        spec_s, spec_t,
     )
 
     # static field: recompute forward, then backprop
@@ -425,28 +458,28 @@ def _dtype_from_name(name):
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _fused_core(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile,
-                dtype_name, share_enc, raw_s, raw_t, rows_s, rows_t):
+                dtype_name, share_enc, spec_s, spec_t):
     """Returns two [n] raw-density vectors (the kernels write 1-D directly;
     the custom-vjp boundary keeps AD from ever materializing padded
-    cotangents)."""
+    cotangents). ``spec_s``/``spec_t``: static (n_raw, rows, basis) tuples
+    describing each field's encoding."""
     return _fused_core_fwd_impl(
         geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name,
-        share_enc, raw_s, raw_t, rows_s, rows_t,
+        share_enc, spec_s, spec_t,
     )
 
 
 def _fused_core_fwd_impl(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
-                         tile, dtype_name, share_enc, raw_s, raw_t,
-                         rows_s, rows_t):
+                         tile, dtype_name, share_enc, spec_s, spec_t):
     n = geom.shape[1]
     grid = (n // tile,)
     s_specs, s_vals = _pack_specs(s_pack, with_latent=False)
     t_specs, t_vals = _pack_specs(t_pack, with_latent=True)
     kernel = functools.partial(_fwd_kernel, n_hidden_s, n_hidden_t,
                                _dtype_from_name(dtype_name), share_enc,
-                               raw_s, raw_t, rows_s, rows_t)
+                               spec_s, spec_t)
     out_s, out_t = pl.pallas_call(
         kernel,
         grid=grid,
@@ -463,17 +496,16 @@ def _fused_core_fwd_impl(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
 
 
 def _fused_core_fwd(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
-                    tile, dtype_name, share_enc, raw_s, raw_t,
-                    rows_s, rows_t):
+                    tile, dtype_name, share_enc, spec_s, spec_t):
     out_s, out_t = _fused_core_fwd_impl(
         geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t, tile, dtype_name,
-        share_enc, raw_s, raw_t, rows_s, rows_t,
+        share_enc, spec_s, spec_t,
     )
     return (out_s, out_t), (geom, lat, s_pack, t_pack)
 
 
 def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, share_enc,
-                    raw_s, raw_t, rows_s, rows_t, residuals, gouts):
+                    spec_s, spec_t, residuals, gouts):
     geom, lat, s_pack, t_pack = residuals
     g_s, g_t = gouts
     n = geom.shape[1]
@@ -520,7 +552,7 @@ def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, share_enc,
     ]
     kernel = functools.partial(_bwd_kernel, n_hidden_s, n_hidden_t,
                                _dtype_from_name(dtype_name), share_enc,
-                               raw_s, raw_t, rows_s, rows_t)
+                               spec_s, spec_t)
     (dlat, dw1s, db1s, dwhs, dbhs, dwos, dbos,
      dw1t, dw1lt, db1t, dwht, dbht, dwot, dbot) = pl.pallas_call(
         kernel,
@@ -626,8 +658,7 @@ def fused_composite_fields_rays(
     out_s, out_t = _fused_core(
         geom, lat_fm, s_pack, t_pack,
         cfg_s.num_early_layers, cfg_t.num_early_layers, tile, compute_dtype,
-        _share_enc(cfg_s, cfg_t), _n_raw_rows(cfg_s), _n_raw_rows(cfg_t),
-        _enc_rows(cfg_s), _enc_rows(cfg_t),
+        _share_enc(cfg_s, cfg_t), _enc_spec(cfg_s), _enc_spec(cfg_t),
     )
     return out_s[:n].reshape(r, s, 1), out_t[:n].reshape(r, s, 1)
 
@@ -711,8 +742,7 @@ def fused_composite_fields(
     out_s, out_t = _fused_core(
         geom, lat_fm, s_pack, t_pack,
         cfg_s.num_early_layers, cfg_t.num_early_layers, tile, compute_dtype,
-        _share_enc(cfg_s, cfg_t), _n_raw_rows(cfg_s), _n_raw_rows(cfg_t),
-        _enc_rows(cfg_s), _enc_rows(cfg_t),
+        _share_enc(cfg_s, cfg_t), _enc_spec(cfg_s), _enc_spec(cfg_t),
     )
     return out_s[:n].reshape(r, s, 1), out_t[:n].reshape(r, s, 1)
 

@@ -1,8 +1,11 @@
 """Longer flagship run on TPU with paper-proportional schedules.
 
-Usage: python scripts/tpu_long_run.py [n_iters=50000]
+Usage: python scripts/tpu_long_run.py [n_iters=50000] [resume_checkpoint]
 All annealing schedules scale with n_iters at the paper's proportions
 (window/lr decay = 75% of run, hyperparam decay = 50%, favor delay = 20%).
+Pass a checkpoint dir as the second arg to continue a wedged/killed run
+(the remote-compile tunnel occasionally hangs; schedules derive from the
+restored step, so resume is exact).
 """
 import json
 import os
@@ -17,7 +20,8 @@ from nerfca_tpu.train.trainer import train_composite
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
-    args = parse_args([
+    resume = sys.argv[2] if len(sys.argv) > 2 else None
+    args = parse_args(([] if resume is None else ["--resume_from", resume]) + [
         "--config", "configs/composite.txt",
         "--data_name", "SYNTH",
         "--data_size", "200",
