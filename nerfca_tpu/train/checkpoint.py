@@ -70,9 +70,14 @@ def load_checkpoint(directory: str, example_state: TrainState) -> TrainState:
             "step": example_state.step,
             "rng": jax.random.key_data(example_state.rng),
         }
+        # explicit restore args (sharding from the example arrays) so a
+        # checkpoint saved on one backend (TPU) restores on another (CPU)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
         restored = ckptr.restore(
             os.path.join(directory, "state"),
-            args=ocp.args.PyTreeRestore(item=target),
+            args=ocp.args.PyTreeRestore(
+                item=target, restore_args=restore_args
+            ),
         )
     rng = jax.random.wrap_key_data(np.asarray(restored["rng"]))
     return TrainState(
