@@ -124,6 +124,11 @@ def render_test_view(
             [test_phases, jnp.zeros((pad,), test_phases.dtype)]
         )
 
+    # the tile renderer only reads hp's render-shaping fields; canonicalize
+    # the loss-weight fields so sweep configs share one compiled eval graph
+    from nerfca_tpu.train.step import weightless_hp
+
+    hp_render = weightless_hp(hp)
     s_raw, t_raw = _render_composite_tiles(
         params,
         test_origins,
@@ -132,7 +137,7 @@ def render_test_view(
         depth_values,
         jnp.asarray(step),
         tuple(sorted(cfgs.items())),
-        hp,
+        hp_render,
         min(tile, test_origins.shape[0]),
     )
     s_raw, t_raw = s_raw[:n], t_raw[:n]
@@ -174,7 +179,7 @@ def render_test_view(
             depth_values_fine,
             jnp.asarray(step),
             tuple(sorted(fine_cfgs.items())),
-            hp,
+            hp_render,
             min(tile, test_origins.shape[0]),
         )
         s_raw_f, t_raw_f = s_raw_f[:n], t_raw_f[:n]

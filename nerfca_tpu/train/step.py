@@ -295,24 +295,67 @@ def _regularized_loss(pix_loss, losses, weights):
     )
 
 
-def loss_weights(step, hp: CompositeHParams):
+def schedule_from_hp(hp: CompositeHParams) -> dict:
+    """The loss-weight schedule as a flat dict of scalars.
+
+    Passed as a TRACED input to the train step (``sched``), so sweeping
+    regularizer weights reuses one compiled step — a fresh XLA compile
+    costs minutes through this machine's remote tunnel, which made
+    weight sweeps impractical when the weights were baked in as
+    constants."""
+    return {
+        "favor_s_start": jnp.float32(hp.favor_s_weight_start),
+        "favor_s_end": jnp.float32(hp.favor_s_weight_end),
+        "favor_s_delay": jnp.float32(hp.favor_s_weight_delay_steps),
+        "d_entro_start": jnp.float32(hp.dynamic_entro_weight_start),
+        "d_entro_end": jnp.float32(hp.dynamic_entro_weight_end),
+        "occl_start": jnp.float32(hp.occl_weight_start),
+        "occl_end": jnp.float32(hp.occl_weight_end),
+        "l1_start": jnp.float32(hp.l1_weight_start),
+        "l1_end": jnp.float32(hp.l1_weight_end),
+        "decay_steps": jnp.float32(hp.hyperparam_decay_steps),
+    }
+
+
+def weightless_hp(hp: CompositeHParams) -> CompositeHParams:
+    """Canonicalize the schedule fields that are NOT part of a compiled
+    graph when the schedule rides in as the traced ``sched`` input — used
+    as (part of) compiled-function cache keys so weight sweeps share one
+    compile."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        hp,
+        favor_s_weight_start=0.0, favor_s_weight_end=0.0,
+        favor_s_weight_delay_steps=0,
+        dynamic_entro_weight_start=0.0, dynamic_entro_weight_end=0.0,
+        occl_weight_start=0.0, occl_weight_end=0.0,
+        l1_weight_start=0.0, l1_weight_end=0.0,
+        hyperparam_decay_steps=1,
+    )
+
+
+def loss_weights(step, hp: CompositeHParams, sched=None):
     """Annealed loss weights (``run_composite.py:276-279``). The occlusion
-    weight shares the favor_s delay, as in the reference."""
+    weight shares the favor_s delay, as in the reference. With ``sched``
+    (see :func:`schedule_from_hp`) the weights come from traced values."""
+    if sched is None:
+        sched = schedule_from_hp(hp)
     return {
         "favor_s": linear_param_decay(
-            step, hp.favor_s_weight_start, hp.favor_s_weight_end,
-            hp.hyperparam_decay_steps, hp.favor_s_weight_delay_steps,
+            step, sched["favor_s_start"], sched["favor_s_end"],
+            sched["decay_steps"], sched["favor_s_delay"],
         ),
         "dynamic_entro": linear_param_decay(
-            step, hp.dynamic_entro_weight_start, hp.dynamic_entro_weight_end,
-            hp.hyperparam_decay_steps,
+            step, sched["d_entro_start"], sched["d_entro_end"],
+            sched["decay_steps"],
         ),
         "occl": linear_param_decay(
-            step, hp.occl_weight_start, hp.occl_weight_end,
-            hp.hyperparam_decay_steps, hp.favor_s_weight_delay_steps,
+            step, sched["occl_start"], sched["occl_end"],
+            sched["decay_steps"], sched["favor_s_delay"],
         ),
         "l1": linear_param_decay(
-            step, hp.l1_weight_start, hp.l1_weight_end, hp.hyperparam_decay_steps
+            step, sched["l1_start"], sched["l1_end"], sched["decay_steps"]
         ),
     }
 
@@ -325,14 +368,17 @@ def composite_loss_fn(
     cfgs: dict,
     hp: CompositeHParams,
     rng: Optional[jax.Array] = None,
+    sched=None,
 ):
-    """Total regularized loss + metric dict for one batch."""
+    """Total regularized loss + metric dict for one batch. ``sched``: traced
+    loss-weight schedule (see :func:`schedule_from_hp`); None bakes the hp
+    values in as constants."""
     windows = {
         "static": field_window(cfgs["static"], step),
         "temp": field_window(cfgs["temp"], step),
     }
     fwd = composite_forward(params, batch, depth_values, windows, cfgs, hp, rng)
-    weights = loss_weights(step, hp)
+    weights = loss_weights(step, hp, sched)
 
     pixel_loss_c = jnp.mean(
         weighted_mse(fwd["pix_coarse"], batch["pixels"], batch["weights"])
@@ -414,7 +460,8 @@ def make_composite_train_step(
     """Build the single-iteration update function (not yet jitted)."""
     s_fine = hp.depth_samples_fine
 
-    def train_step(state: TrainState, rays, phases, var_ids, non_var_ids):
+    def train_step(state: TrainState, rays, phases, var_ids, non_var_ids,
+                   sched=None):
         rng, k_sample, k_depth, k_fine = jax.random.split(state.rng, 4)
 
         batch = sample_ray_batch(k_sample, rays, phases, var_ids, non_var_ids, hp)
@@ -433,6 +480,7 @@ def make_composite_train_step(
             return composite_loss_fn(
                 p, batch, z, state.step, cfgs, hp,
                 rng=k_fine if s_fine > 0 else None,
+                sched=sched,
             )
 
         (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
@@ -456,9 +504,14 @@ def make_train_chunk(train_step, n_steps: int):
     remote-compile tunnel. The select touches only the small state pytree
     (~MBs), negligible next to the step itself."""
 
-    def chunk(state, rays, phases, var_ids, non_var_ids, n_valid=None):
+    def chunk(state, rays, phases, var_ids, non_var_ids, n_valid=None,
+              sched=None):
         def body(st, i):
-            new_st, metrics = train_step(st, rays, phases, var_ids, non_var_ids)
+            new_st, metrics = (
+                train_step(st, rays, phases, var_ids, non_var_ids, sched)
+                if sched is not None
+                else train_step(st, rays, phases, var_ids, non_var_ids)
+            )
             if n_valid is not None:
                 keep = i < n_valid
                 new_st = jax.tree.map(

@@ -53,9 +53,18 @@ from nerfca_tpu.train.step import (
     make_optimizer,
     make_static_train_step,
     make_train_chunk,
+    schedule_from_hp,
+    weightless_hp,
 )
 
 EARLY_STOP_EPS = 1e-15
+
+# Compiled-chunk cache: the loss-weight schedule is a TRACED input to the
+# step (schedule_from_hp), so runs that differ only in regularizer weights
+# (a sweep) reuse one compiled graph — a fresh compile costs minutes
+# through the remote tunnel. Keyed on everything else that shapes the graph.
+_CHUNK_CACHE: dict = {}
+
 
 
 def field_configs_from_args(args) -> dict[str, FieldConfig]:
@@ -225,12 +234,25 @@ def prepare_composite(args, mesh=None):
 
         batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
 
-    train_step = make_composite_train_step(
-        cfgs, hp, tx, depth_values, max_pixel_value, batch_sharding
+    cache_key = (
+        tuple(sorted(cfgs.items())),
+        weightless_hp(hp),
+        (args.lr, args.lr_end_factor, args.lr_decay_steps),
+        (near, far, args.depth_samples_per_ray_coarse),
+        max_pixel_value,
+        _chunk_size(args),
+        repr(batch_sharding),
     )
-    chunk_fn = jax.jit(
-        make_train_chunk(train_step, _chunk_size(args)), donate_argnums=(0,)
-    )
+    if cache_key in _CHUNK_CACHE:
+        train_step, chunk_fn = _CHUNK_CACHE[cache_key]
+    else:
+        train_step = make_composite_train_step(
+            cfgs, hp, tx, depth_values, max_pixel_value, batch_sharding
+        )
+        chunk_fn = jax.jit(
+            make_train_chunk(train_step, _chunk_size(args)), donate_argnums=(0,)
+        )
+        _CHUNK_CACHE[cache_key] = (train_step, chunk_fn)
 
     device_data = {
         "rays": jnp.asarray(data.rays),
@@ -272,12 +294,15 @@ def _chunked_train_loop(
     eval_fn=None,
     save_fn=None,
     early_stop_fn=None,
+    chunk_extra=(),
 ):
     """Shared chunked-loop engine for both drivers: dispatch jitted chunks
     (tail remainder masked via ``n_valid`` — no re-jit), per-step logging at
     ``log_every`` granularity, optional early stop, eval at
     ``display_every`` boundaries, checkpoints at ``save_every`` boundaries,
-    and the ``--profile_steps`` jax.profiler window."""
+    and the ``--profile_steps`` jax.profiler window. ``chunk_extra``:
+    additional traced args appended to every chunk call (the composite
+    driver passes the loss-weight schedule)."""
     start_step = int(state.step)
     stop = False
     t_start = time.time()
@@ -290,7 +315,7 @@ def _chunked_train_loop(
         n_now = min(chunk, n_total - step)
         state, metrics = chunk_fn(
             state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"],
-            n_now,
+            n_now, *chunk_extra,
         )
         metrics = jax.tree.map(lambda v: np.asarray(v)[:n_now], metrics)
         chunk_time = time.time() - t_start
@@ -437,6 +462,7 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
         eval_fn=eval_fn if test_view is not None else None,
         save_fn=save_fn,
         early_stop_fn=early_stop_fn,
+        chunk_extra=(schedule_from_hp(hp),),
     )
 
     logger.close()

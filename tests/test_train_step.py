@@ -261,3 +261,37 @@ def test_train_chunk_n_valid_masks_tail_steps():
         np.asarray(metrics_b["train_loss"]),
         rtol=1e-5,
     )
+
+
+def test_traced_schedule_changes_weights_without_retrace():
+    """The loss-weight schedule rides in as a traced input: one compiled
+    chunk serves configs that differ only in regularizer weights (sweeps
+    would otherwise pay a multi-minute remote compile per config)."""
+    from nerfca_tpu.train.step import schedule_from_hp
+
+    cfgs = tiny_cfgs()
+    hp_a = tiny_hp(favor_s_weight_start=1e-3, favor_s_weight_end=1e-2,
+                   favor_s_weight_delay_steps=0)
+    hp_b = tiny_hp(favor_s_weight_start=1e-1, favor_s_weight_end=1e-1,
+                   favor_s_weight_delay_steps=0)
+    tx = make_optimizer(1e-3, 0.01, 100)
+    rays, phases = synthetic_rays()
+    # ONE step built from hp_a; hp_b's weights arrive via sched
+    step = make_composite_train_step(
+        cfgs, hp_a, tx, linspace_depths(3.6, 5.4, hp_a.depth_samples_coarse), 2.16
+    )
+    chunk = jax.jit(make_train_chunk(step, 2))
+
+    _, m_a = chunk(make_state(cfgs, tx), rays, phases, None, None, 2,
+                   schedule_from_hp(hp_a))
+    size_after_first = chunk._cache_size()
+    _, m_b = chunk(make_state(cfgs, tx), rays, phases, None, None, 2,
+                   schedule_from_hp(hp_b))
+    assert chunk._cache_size() == size_after_first  # no retrace
+    # the weights actually took effect (favor term differs)
+    assert not np.allclose(
+        np.asarray(m_a["favor_s_weight"]), np.asarray(m_b["favor_s_weight"])
+    )
+    assert not np.allclose(
+        np.asarray(m_a["train_loss"]), np.asarray(m_b["train_loss"])
+    )
