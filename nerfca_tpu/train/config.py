@@ -240,8 +240,16 @@ def apply_platform(platform: str) -> None:
 
 def overwrite_args(run_args, overrides: dict):
     """Apply sweep/driver overrides onto a parsed namespace
-    (``data_helpers.py:188-194``)."""
+    (``data_helpers.py:188-194``). String values are coerced to the
+    existing attribute's numeric type (YAML parses ``1e-10`` as a string
+    unless written ``1.0e-10``)."""
     new_args = copy.deepcopy(run_args)
     for key, val in overrides.items():
+        cur = getattr(new_args, key, None)
+        if isinstance(val, str) and isinstance(cur, (int, float)) and not isinstance(cur, bool):
+            try:
+                val = type(cur)(float(val))
+            except ValueError:
+                pass
         setattr(new_args, key, val)
     return new_args
