@@ -124,17 +124,28 @@ def composite_losses(
     entro_use_weighting: bool = False,
     entro_weighted_thresh: float = 0.0,
     occl_reg_perc: float = 0.1,
+    entro_clip_threshold: float = 1e-19,
 ) -> CompositeLosses:
-    """Bundle the composite regularizer battery (``model_helpers.py:250-262``)."""
+    """Bundle the composite regularizer battery (``model_helpers.py:250-262``).
+
+    ``entro_clip_threshold``: floor of the per-ray normalization sum in the
+    entropy terms. The reference's 1e-19 default makes the entropy gradient
+    ~1/clip(sum) on near-empty rays the variance mask keeps active —
+    harmless at the shipped ~1e-8 weights, but it explodes to NaN within a
+    few thousand steps at weights large enough to actually drive the
+    static/dynamic separation. Raise it (e.g. 1e-6) when sweeping real
+    entropy weights."""
     blendw, sigma_s_max, sigma_d_max = blend_ratio(static_sigma, temp_sigma)
     favor_s = blendw_entropy_loss(blendw, skewness=skewness_val)
     s_entropy, s_entropy_sum = ray_entropy_loss(
-        static_sigma, dists, mask_threshold=entro_mask_thre
+        static_sigma, dists, mask_threshold=entro_mask_thre,
+        clip_threshold=entro_clip_threshold,
     )
     d_entropy, d_entropy_sum = ray_entropy_loss(
         temp_sigma,
         dists,
         mask_threshold=entro_mask_thre,
+        clip_threshold=entro_clip_threshold,
         use_weighting=entro_use_weighting,
         weighted_pixs=weighted_pixs,
         weighted_thresh=entro_weighted_thresh,

@@ -149,6 +149,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hyperparam_decay_steps", type=int, default=100000)
 
     p.add_argument("--entro_mask_thre", type=float, default=1e-4)
+    p.add_argument("--entro_clip_threshold", type=float, default=1e-19,
+                   help="floor of the entropy normalization sum; raise to "
+                        "~1e-6 when sweeping real entropy weights (the "
+                        "reference default explodes, see ops/losses.py)")
     p.add_argument("--entro_use_weighting", type=_bool, default=False)
     p.add_argument("--entro_weighted_thresh", type=float, default=0.0)
     p.add_argument("--occl_reg_perc", type=float, default=0.1)

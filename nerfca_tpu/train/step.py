@@ -84,6 +84,7 @@ class CompositeHParams:
     entro_mask_thre: float = 1e-4
     entro_use_weighting: bool = False
     entro_weighted_thresh: float = 0.0
+    entro_clip_threshold: float = 1e-19
     occl_reg_perc: float = 0.1
     compute_dtype: str = "float32"
     use_pallas: bool = False
@@ -393,6 +394,7 @@ def composite_loss_fn(
         entro_use_weighting=hp.entro_use_weighting,
         entro_weighted_thresh=hp.entro_weighted_thresh,
         occl_reg_perc=hp.occl_reg_perc,
+        entro_clip_threshold=hp.entro_clip_threshold,
     )
     loss = _regularized_loss(pixel_loss_c, losses, weights)
 

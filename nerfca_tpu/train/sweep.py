@@ -94,7 +94,7 @@ def run_sweep(args, train_fn: Callable) -> list[dict]:
             )
 
     results.sort(
-        key=lambda r: (r[metric] if r[metric] is not None else float("inf")),
+        key=lambda r: _rank_value(r[metric], goal),
         reverse=(goal == "maximize"),
     )
     out_path = os.path.join(args.log_dir_root, str(args.data_name), "sweep_results.json")
@@ -107,6 +107,17 @@ def run_sweep(args, train_fn: Callable) -> list[dict]:
         json.dump(payload, f, indent=2)
     print(f"sweep results -> {out_path}")
     return results
+
+
+def _rank_value(value, goal: str) -> float:
+    """Sort key with None/NaN pushed to the losing end."""
+    import math
+
+    bad = float("-inf") if goal == "maximize" else float("inf")
+    if value is None:
+        return bad
+    v = float(value)
+    return v if math.isfinite(v) else bad
 
 
 def hyperband_rungs(max_iter: int, eta: int = 3, s: int = 2) -> list[int]:
@@ -149,11 +160,7 @@ def _run_hyperband(args, train_fn, grid, metric, goal, *, max_iter, eta, s):
 
         ranked = sorted(
             survivors,
-            key=lambda ci: (
-                last[ci][metric]
-                if last[ci][metric] is not None
-                else float("inf")
-            ),
+            key=lambda ci: _rank_value(last[ci][metric], goal),
             reverse=(goal == "maximize"),
         )
         rung_log.append(

@@ -131,6 +131,7 @@ def composite_hparams_from_args(args) -> CompositeHParams:
         entro_mask_thre=args.entro_mask_thre,
         entro_use_weighting=args.entro_use_weighting,
         entro_weighted_thresh=args.entro_weighted_thresh,
+        entro_clip_threshold=args.entro_clip_threshold,
         occl_reg_perc=args.occl_reg_perc,
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
@@ -331,6 +332,17 @@ def _chunked_train_loop(
 
         if early_stop_fn is not None:
             stop = early_stop_fn(metrics, step, n_now)
+
+        # non-finite abort: a diverged run never recovers — stop burning
+        # budget (sweeps rank it last; see run_sweep)
+        if not np.isfinite(metrics["train_loss"]).all():
+            first_bad = int(np.argmax(~np.isfinite(metrics["train_loss"])))
+            print(
+                f"ABORT at step {step + first_bad}: non-finite train_loss "
+                f"(diverged). Consider lower weights or a higher "
+                f"--entro_clip_threshold."
+            )
+            stop = True
 
         step += n_now
 
