@@ -193,3 +193,13 @@ def test_reference_config_drives_training(tmp_path):
     assert int(out["state"].step) == 31
     records = [json.loads(l) for l in open(os.path.join(out["log_dir"], "metrics.jsonl"))]
     assert any("train_loss" in r for r in records)
+
+
+def test_sweep_rank_value_pushes_nan_last():
+    from nerfca_tpu.train.sweep import _rank_value
+
+    vals = [3.0, None, float("nan"), 1.0]
+    ranked = sorted(vals, key=lambda v: _rank_value(v, "maximize"), reverse=True)
+    assert ranked[0] == 3.0 and ranked[1] == 1.0
+    ranked_min = sorted(vals, key=lambda v: _rank_value(v, "minimize"))
+    assert ranked_min[0] == 1.0 and ranked_min[1] == 3.0
