@@ -1,6 +1,6 @@
 """Regularizer-weight sweep at the 4-view operating point (TPU).
 
-Runs configs/sweep-4view-weights.yaml through the local sweep executor at
+Runs configs/sweep-4view-data.yaml through the local sweep executor at
 a compressed paper-proportional schedule. All configs share ONE compiled
 train step (the weight schedule is a traced input), so the sweep costs
 one compile + pure step time.
@@ -40,7 +40,7 @@ def main():
         "--use_wandb", "false",
         "--data_root", "data",
         "--log_dir_root", "cases",
-        "--wandb_sweep_yaml", "configs/sweep-4view-weights.yaml",
+        "--wandb_sweep_yaml", "configs/sweep-4view-data.yaml",
     ])
     t0 = time.time()
     results = run_sweep(args, train_composite)
