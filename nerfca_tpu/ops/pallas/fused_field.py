@@ -488,7 +488,10 @@ def _fused_core_fwd_impl(geom, lat, s_pack, t_pack, n_hidden_s, n_hidden_t,
         out_specs=[_vec_tiled(tile), _vec_tiled(tile)],
         out_shape=[jax.ShapeDtypeStruct((n,), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # forward tiles are independent — 'parallel' lets Mosaic
+            # pipeline DMAs more aggressively (the backward keeps
+            # 'arbitrary': it accumulates into grid-invariant outputs)
+            dimension_semantics=("parallel",),
         ),
         interpret=_INTERPRET,
     )(geom, lat, *s_vals, *t_vals)

@@ -36,7 +36,7 @@ def stratify_depths(key, z_vals):
     return lower + (upper - lower) * t_rand
 
 
-def sample_pdf(key, bins, weights, n_samples: int):
+def sample_pdf(key, bins, weights, n_samples: int, u=None):
     """Inverse-transform sample ``n_samples`` depths per ray from a piecewise
     PDF over ``bins``.
 
@@ -46,13 +46,19 @@ def sample_pdf(key, bins, weights, n_samples: int):
     Returns ``[R, n_samples]``. Matches ``train/model_helpers.py:162-187``:
     +1e-5 regularization, ``searchsorted(..., right)``, and the <1e-5
     denominator guard.
+
+    ``u``: optional explicit uniforms ``[R, n_samples]`` (testing seam for
+    oracle comparison against the reference with injected randomness).
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, B+1]
 
-    u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), dtype=weights.dtype)
+    if u is None:
+        u = jax.random.uniform(
+            key, (*cdf.shape[:-1], n_samples), dtype=weights.dtype
+        )
 
     inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
     below = jnp.maximum(0, inds - 1)

@@ -256,3 +256,123 @@ def test_ray_generation_matches_reference(ref):
         np.testing.assert_allclose(
             np.asarray(d), r_d, atol=1e-5, err_msg=f"dirs {theta},{phi}"
         )
+
+
+def test_sample_pdf_matches_reference_with_injected_uniforms(ref):
+    """Inverse-CDF sampling: identical bins/weights/uniforms -> identical
+    samples (searchsorted sides, gather clamping, denom guard)."""
+    from unittest import mock
+
+    import jax.numpy as jnp
+
+    from nerfca_tpu.ops.sampling import sample_pdf
+
+    torch = ref.torch
+    rng = np.random.default_rng(4)
+    r, b, n = 16, 31, 12
+    bins = np.sort(rng.uniform(3.6, 5.4, (r, b)).astype(np.float32), axis=-1)
+    weights = (rng.random((r, b - 1)) ** 3).astype(np.float32)
+    u = rng.random((r, n)).astype(np.float32)
+
+    with mock.patch.object(
+        ref.mh.torch, "rand", lambda *shape, **kw: torch.from_numpy(
+            u.reshape([s for dim in shape for s in (dim if isinstance(dim, list) else [dim])])
+        )
+    ):
+        ref_out = ref.mh.sample_pdf(
+            torch.from_numpy(bins), torch.from_numpy(weights), n, "cpu"
+        ).numpy()
+
+    ours = sample_pdf(None, jnp.asarray(bins), jnp.asarray(weights), n,
+                      u=jnp.asarray(u))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-5)
+
+
+def test_composite_forward_pipeline_matches_reference(ref):
+    """End-to-end coarse pipeline oracle: identical models, rays, phases,
+    and (injected) depth jitter -> identical pixel predictions, sigmas, and
+    dists through obtain_train_predictions_iter vs composite_forward."""
+    from unittest import mock
+
+    import jax.numpy as jnp
+
+    from nerfca_tpu.train.step import CompositeHParams, composite_forward
+
+    torch = ref.torch
+    torch.manual_seed(5)
+    static_m = ref.CPPN(_model_def())
+    temp_m = ref.Temporal(
+        _model_def(num_input_times=1, use_time_latents=True, num_time_dim=4)
+    )
+    static_m.update_freq_mask_alpha(50, 100)
+    temp_m.update_freq_mask_alpha(50, 100)
+
+    rng = np.random.default_rng(6)
+    r, s = 32, 24
+    origins = np.full((r, 3), [4.5, 0, 0], np.float32)
+    dirs = (np.array([-1.0, 0, 0]) + rng.normal(0, 0.02, (r, 3))).astype(np.float32)
+    phases = rng.integers(0, 10, r).astype(np.int32)
+    i0 = np.full((r,), 2.16, np.float32)
+    z_base = np.linspace(3.6, 5.4, s).astype(np.float32)
+    jitter = rng.random(s).astype(np.float32)
+
+    with mock.patch.object(
+        ref.mh.torch, "rand",
+        lambda *shape, **kw: torch.from_numpy(jitter),
+    ):
+        (r_pix, r_ss, r_ts, r_d, *_fine) = ref.mh.obtain_train_predictions_iter(
+            static_m, temp_m, None, None,
+            torch.from_numpy(origins), torch.from_numpy(dirs),
+            torch.from_numpy(np.tile(phases[:, None], (1, s)).astype(np.float32)),
+            torch.from_numpy(i0), torch.from_numpy(z_base),
+            "softplus", 32768, 0, "cpu",
+        )
+
+    # reproduce the jittered depths the patched torch.rand produced
+    mids = 0.5 * (z_base[1:] + z_base[:-1])
+    upper = np.concatenate([mids, z_base[-1:]])
+    lower = np.concatenate([z_base[:1], mids])
+    z = lower + (upper - lower) * jitter
+
+    from nerfca_tpu.models.fields import FieldConfig
+
+    cfg_kw = dict(
+        num_early_layers=2, num_filters=32, pos_enc="free_windowed",
+        pos_enc_basis=6, pos_enc_window_start=1,
+        pos_enc_window_decay_steps=100,
+    )
+    cfgs = {
+        "static": FieldConfig(**cfg_kw),
+        "temp": FieldConfig(use_time_latents=True, num_time_dim=4, **cfg_kw),
+    }
+    params = {
+        "static": _jnp_params_from_torch(static_m),
+        "temp": _jnp_params_from_torch(temp_m, with_latents=True),
+    }
+    hp = CompositeHParams(img_sample_size=r, depth_samples_coarse=s)
+    from nerfca_tpu.train.step import field_window
+
+    windows = {
+        "static": field_window(cfgs["static"], 50),
+        "temp": field_window(cfgs["temp"], 50),
+    }
+    batch = {
+        "origins": jnp.asarray(origins),
+        "directions": jnp.asarray(dirs),
+        "phases": jnp.asarray(phases),
+        "initial_intensities": jnp.asarray(i0),
+    }
+    fwd = composite_forward(params, batch, jnp.asarray(z), windows, cfgs, hp)
+
+    np.testing.assert_allclose(
+        np.asarray(fwd["pix_coarse"]), r_pix.detach().numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fwd["static_sigma_coarse"]), r_ss.detach().numpy(), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fwd["temp_sigma_coarse"]), r_ts.detach().numpy(), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fwd["dists_coarse"]), r_d.detach().numpy(), atol=1e-7
+    )
