@@ -64,6 +64,14 @@ def evaluate_checkpoint(args) -> dict:
     depth_values = linspace_depths(
         info["near_thresh"], info["far_thresh"], args.depth_samples_per_ray_coarse
     )
+    # score the fine render too when the checkpoint carries fine models
+    depth_values_fine = None
+    if args.depth_samples_per_ray_fine > 0 and "static_fine" in state.params:
+        depth_values_fine = linspace_depths(
+            info["near_thresh"],
+            info["far_thresh"],
+            args.depth_samples_per_ray_fine,
+        )
 
     out_dir = os.path.join(args.resume_from, "eval")
     os.makedirs(out_dir, exist_ok=True)
@@ -84,6 +92,7 @@ def evaluate_checkpoint(args) -> dict:
             cfgs,
             hp,
             info["max_pixel_value"],
+            depth_values_fine=depth_values_fine,
         )
         pred = np.asarray(render["pix"]).reshape(w, h)
         psnr = evaluation.image_psnr(pred, gt)
@@ -98,6 +107,12 @@ def evaluate_checkpoint(args) -> dict:
             "psnr": psnr,
             "ssim": ssim,
         }
+        if "pix_fine" in render:
+            pred_f = np.asarray(render["pix_fine"]).reshape(w, h)
+            row["psnr_fine"] = evaluation.image_psnr(pred_f, gt)
+            row["ssim_fine"] = evaluation.image_ssim(
+                (pred_f - lo) / scale, (gt - lo) / scale
+            )
 
         # Decomposition metrics against the artery-only ground truth, when
         # the dataset provides it (SYNTH always; XCAT via the extracted

@@ -51,3 +51,20 @@ def test_render_cli_from_checkpoint(tmp_path):
     img = np.load(os.path.join(render_dir, npys[0]))
     assert img.shape == (50, 50)
     assert np.isfinite(img).all()
+
+
+def test_eval_scores_fine_render(tmp_path):
+    """With a fine-enabled checkpoint and --depth_samples_per_ray_fine set,
+    offline eval also scores the fine render (psnr_fine/ssim_fine)."""
+    fine = ["--depth_samples_per_ray_fine", "8"]
+    args = parse_args(tiny_argv(tmp_path) + fine + [
+        "--n_iters", "20", "--save_every", "20", "--display_every", "20",
+    ])
+    out = train_composite(args)
+    ckpt = os.path.join(out["log_dir"], "checkpoint")
+
+    eval_args = parse_args(tiny_argv(tmp_path) + fine + ["--resume_from", ckpt])
+    result = evaluate_checkpoint(eval_args)
+    row = result["per_view"][0]
+    assert "psnr_fine" in row and np.isfinite(row["psnr_fine"])
+    assert "ssim_fine" in row
