@@ -1,0 +1,464 @@
+"""Monolithic train-gradient kernel: forward MLPs + Beer-Lambert render +
+the full regularizer battery + backprop in ONE Pallas pass.
+
+Why: the two-kernel step (forward kernel -> XLA losses -> backward kernel
+that RECOMPUTES the forward) pays the forward compute twice plus the [n]
+raw-density HBM round trips. Folding the loss into the backward pass makes
+the forward kernel dispatch disappear entirely: per tile this kernel runs
+encode -> MLPs -> per-ray loss partials -> in-kernel VJP -> weight-gradient
+accumulation, all in VMEM.
+
+Design points:
+  - Tiles are RAY-ALIGNED: ``tile = rays_per_tile x S_pad`` with each
+    ray's samples padded from S (500) to S_pad (512). Padded samples get
+    dist 0, so every per-ray reduction ignores them; per-sample means
+    (blendw entropy) are masked and divided by the true count.
+  - The per-tile loss is written as PLAIN JNP inside the kernel and
+    differentiated with ``jax.vjp`` IN-KERNEL — Mosaic compiles the traced
+    cotangent ops, so there is no hand-derived gradient to drift from
+    ``ops/losses``. Every global mean decomposes as a per-tile partial sum
+    over static divisors, so d(total)/d(raw_tile) = d(tile_partial)/d(raw_tile).
+  - Loss/metric terms come out as a [TERMS, 1] accumulator; packed weight
+    gradients accumulate across the sequential grid exactly like the
+    two-kernel backward; per-ray latent cotangents come out [LAT_ROWS, R]
+    (summed over each ray's samples in-kernel) and are pulled back through
+    the latent-table construction with ``jax.vjp`` — as are the packed
+    weights themselves, so parameter gradients need no hand mapping.
+  - The annealed loss WEIGHTS arrive as a traced [8, 1] vector, so weight
+    sweeps still share this kernel's single compile.
+
+Scope: the coarse composite path (``depth_samples_fine == 0``) with the
+kernel-supported field configs; callers fall back to the two-kernel path
+otherwise. Reference math being fused: ``train/model_helpers.py:72-97``
+(renderer), ``:189-262`` (regularizers), on top of the field math of
+``fused_field.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerfca_tpu.models.fields import FieldConfig
+from nerfca_tpu.ops.pallas import fused_field as ff
+
+GEOM_ROWS = ff.GEOM_ROWS
+LAT_ROWS = ff.LAT_ROWS
+WIDTH = ff.WIDTH
+TERMS = 16  # padded term-accumulator rows
+
+# term indices in the accumulator
+(T_PIX, T_FAVOR, T_S_ENT, T_S_SIG, T_D_ENT, T_D_SIG, T_OCCL, T_L1, T_L2,
+ T_BLENDW, T_SMAX, T_DMAX) = range(12)
+
+
+def fused_train_supported(cfg_s: FieldConfig, cfg_t: FieldConfig,
+                          hp) -> bool:
+    return (
+        hp.use_pallas
+        and getattr(hp, "use_fused_loss", False)
+        and hp.depth_samples_fine == 0
+        and ff.pallas_supported(cfg_s)
+        and ff.pallas_supported(cfg_t)
+        and hp.output_activation in ("softplus", "sigmoid", "clamp")
+    )
+
+
+def _act_sigma(raw, activation: str):
+    """raw -> sigma, matching get_activation_func + the composite
+    renderer's 1e-2 scale (``model_helpers.py:63-84``)."""
+    if activation == "softplus":
+        a = jax.nn.softplus(raw)
+    elif activation == "sigmoid":
+        a = jax.nn.sigmoid(raw)
+    else:  # clamp = hardtanh(softplus, 0, 1)
+        a = jnp.clip(jax.nn.softplus(raw), 0.0, 1.0)
+    return a * 1e-2
+
+
+def _tile_loss(raw_s, raw_t, gt_pt, wts_pt, i0_pt, dists, occl_mask, valid,
+               lw, hp_tuple, rt, s_pad, n_rays_total, s_valid):
+    """Per-tile partial of the TOTAL training loss, plus metric partials.
+
+    ``raw_s``/``raw_t``: [rt*s_pad] raw densities; ``gt_pt``/``wts_pt``/
+    ``i0_pt`` are the per-ray values EXPANDED per sample (lane-friendly
+    kernel I/O); ``dists``/``occl_mask``/``valid``: [s_pad]; ``lw``:
+    traced loss weights [favor, dentro, occl, l1]. Math mirrors
+    ``ops/render.py`` and ``ops/losses.py`` exactly, restructured as
+    partial sums over STATIC divisors so the in-kernel VJP yields the
+    global cotangents.
+    """
+    (activation, skewness, mask_thre, use_weighting, weighted_thresh,
+     clip_thr) = hp_tuple
+    R = n_rays_total
+
+    gt = gt_pt.reshape(rt, s_pad)[:, 0]
+    wts = wts_pt.reshape(rt, s_pad)[:, 0]
+    i0 = i0_pt.reshape(rt, s_pad)[:, 0]
+    sig_s = _act_sigma(raw_s.reshape(rt, s_pad), activation)
+    sig_d = _act_sigma(raw_t.reshape(rt, s_pad), activation)
+    sd_s = sig_s * dists[None, :]
+    sd_d = sig_d * dists[None, :]
+
+    # pixel term: sum_r w_r (pix_r - gt_r)^2 / R
+    pix = i0 - jnp.sum(sd_s + sd_d, axis=-1)
+    pix_partial = jnp.sum(wts * (pix - gt) ** 2) / R
+
+    # favor_s: mean over [R, S_valid] of the blendw binary entropy
+    blendw = sig_d / (sig_s + sig_d + 1e-10)
+    b = jnp.clip(blendw**skewness, 1e-19, 1 - 1e-19)
+    rev = jnp.clip(1 - b, 1e-19, None)
+    ent_b = -(b * jnp.log(b) + rev * jnp.log(rev)) * valid[None, :]
+    favor_partial = jnp.sum(ent_b) / (R * s_valid)
+
+    def ray_entropy(sd, mask_extra=None):
+        ssum = jnp.sum(sd, axis=-1, keepdims=True)
+        mask = (ssum[..., 0] >= mask_thre)
+        if mask_extra is not None:
+            mask = jnp.logical_or(mask, mask_extra)
+        p = sd / jnp.clip(ssum, clip_thr, None)
+        ent = mask * -jnp.sum(p * jnp.log(p + 1e-10) * valid[None, :], axis=-1)
+        return jnp.sum(ent) / R, jnp.sum(ssum) / R
+
+    s_ent_partial, s_sig_partial = ray_entropy(sd_s)
+    var_mask = (wts > 1.0 + weighted_thresh) if use_weighting else None
+    d_ent_partial, d_sig_partial = ray_entropy(sd_d, var_mask)
+
+    occl_partial = jnp.sum(sd_d * occl_mask[None, :]) / R
+    l1_partial = jnp.sum(sd_s)
+    l2_partial = jnp.sum(sd_s**2)
+
+    loss_partial = (
+        pix_partial
+        + lw[0] * favor_partial
+        + lw[1] * d_ent_partial
+        + lw[2] * occl_partial
+        + lw[3] * l2_partial
+        + lw[3] * l1_partial
+    )
+    aux = {
+        "pix": pix_partial,
+        "favor": favor_partial,
+        "s_ent": s_ent_partial,
+        "s_sig": s_sig_partial,
+        "d_ent": d_ent_partial,
+        "d_sig": d_sig_partial,
+        "occl": occl_partial,
+        "l1": l1_partial,
+        "l2": l2_partial,
+        "blendw": jnp.sum(blendw * valid[None, :]) / (R * s_valid),
+        "smax": jnp.max(sig_s),
+        "dmax": jnp.max(sig_d),
+    }
+    return loss_partial, aux
+
+
+def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
+                  rt, s_pad, n_rays_total, s_valid, hp_tuple,
+                  geom_ref, lat_ref, gt_ref, wts_ref, i0_ref,
+                  dists_ref, occl_ref, valid_ref, lw_ref,
+                  fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
+                  ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
+                  terms_ref, dlat_ref,
+                  dw1s_ref, db1s_ref, dwhs_ref, dbhs_ref, dwos_ref, dbos_ref,
+                  dw1t_ref, dw1lt_ref, db1t_ref, dwht_ref, dbht_ref,
+                  dwot_ref, dbot_ref):
+    geom = geom_ref[:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for ref in (terms_ref,
+                    dw1s_ref, db1s_ref, dwhs_ref, dbhs_ref, dwos_ref,
+                    dbos_ref, dw1t_ref, dw1lt_ref, db1t_ref, dwht_ref,
+                    dbht_ref, dwot_ref, dbot_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    enc_s, enc_t = ff._both_encodings(
+        geom, fs[:], phs[:], wms[:], ft[:], pht[:], wmt[:], share_enc,
+        spec_s, spec_t,
+    )
+
+    lat = lat_ref[:]  # [LAT_ROWS, rt*s_pad]
+
+    o_s, pres_s, hs_s = ff._mlp_forward(
+        enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:], bos[:], dtype=dtype
+    )
+    o_t, pres_t, hs_t = ff._mlp_forward(
+        enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:],
+        lat=lat, w1l=w1lt[:], dtype=dtype,
+    )
+    raw_s = o_s[0]
+    raw_t = o_t[0]
+
+    def loss_fn(a, b):
+        return _tile_loss(
+            a, b, gt_ref[:], wts_ref[:], i0_ref[:], dists_ref[:],
+            occl_ref[:], valid_ref[:], lw_ref[:][:, 0], hp_tuple,
+            rt, s_pad, n_rays_total, s_valid,
+        )
+
+    loss_partial, vjp, aux = jax.vjp(loss_fn, raw_s, raw_t, has_aux=True)
+    g_raw_s, g_raw_t = vjp(jnp.float32(1.0))
+
+    # accumulate loss/metric partials (sums accumulate; maxes via maximum)
+    t = terms_ref[:]
+    upd = jnp.zeros_like(t)
+    for idx, keyname in ((T_PIX, "pix"), (T_FAVOR, "favor"),
+                         (T_S_ENT, "s_ent"), (T_S_SIG, "s_sig"),
+                         (T_D_ENT, "d_ent"), (T_D_SIG, "d_sig"),
+                         (T_OCCL, "occl"), (T_L1, "l1"), (T_L2, "l2"),
+                         (T_BLENDW, "blendw")):
+        upd = upd.at[idx, 0].set(aux[keyname])
+    terms = t + upd
+    terms = terms.at[T_SMAX, 0].set(jnp.maximum(t[T_SMAX, 0], aux["smax"]))
+    terms = terms.at[T_DMAX, 0].set(jnp.maximum(t[T_DMAX, 0], aux["dmax"]))
+    terms_ref[:] = terms
+
+    # MLP backprop with the in-kernel cotangents (row 0 carries the signal)
+    row = jax.lax.broadcasted_iota(jnp.int32, (GEOM_ROWS, 1), 0)
+    g_s_full = jnp.where(row == 0, g_raw_s[None, :], 0.0)
+    g_t_full = jnp.where(row == 0, g_raw_t[None, :], 0.0)
+
+    g_s = ff._field_bwd(g_s_full, enc_s, pres_s, hs_s, whs[:], wos[:],
+                        dtype=dtype)
+    dw1s_ref[:] += g_s["w1"]
+    db1s_ref[:] += g_s["b1"]
+    if n_hidden_s:
+        dwhs_ref[:] += g_s["wh"]
+        dbhs_ref[:] += g_s["bh"]
+    dwos_ref[:] += g_s["wo"]
+    dbos_ref[:] += g_s["bo"]
+
+    g_t = ff._field_bwd(g_t_full, enc_t, pres_t, hs_t, wht[:], wot[:],
+                        lat=lat, w1l=w1lt[:], dtype=dtype)
+    dw1t_ref[:] += g_t["w1"]
+    dw1lt_ref[:] += g_t["w1l"]
+    db1t_ref[:] += g_t["b1"]
+    if n_hidden_t:
+        dwht_ref[:] += g_t["wh"]
+        dbht_ref[:] += g_t["bh"]
+    dwot_ref[:] += g_t["wo"]
+    dbot_ref[:] += g_t["bo"]
+    dlat_ref[:] = g_t["dlat"]
+
+
+def fused_train_loss_and_grads(
+    params_s,
+    params_t,
+    origins,
+    directions,
+    z,
+    ray_phases,
+    pixels,
+    weights,
+    initial_intensities,
+    cfg_s: FieldConfig,
+    cfg_t: FieldConfig,
+    window_s,
+    window_t,
+    loss_weights_vec,
+    hp,
+    rays_per_tile: int = 2,
+):
+    """One-pass training loss + parameter gradients for the coarse
+    composite objective.
+
+    Returns ``(loss, term_dict, grads_s, grads_t)`` where ``term_dict``
+    carries the individual (unweighted) loss terms for the metrics dict.
+    ``loss_weights_vec``: traced ``[favor, dentro, occl, l1]``.
+    """
+    r = origins.shape[0]
+    s = z.shape[0]
+    assert r % rays_per_tile == 0, (r, rays_per_tile)
+    s_pad = ((s + 511) // 512) * 512
+    rt = rays_per_tile
+    n = r * s_pad
+    grid = (r // rt,)
+
+    # per-ray-padded geometry rows: padded samples repeat the last depth
+    z_pad = jnp.concatenate([z, jnp.broadcast_to(z[-1:], (s_pad - s,))])
+    rows = [
+        (origins[:, c : c + 1] + z_pad[None, :] * directions[:, c : c + 1])
+        .reshape(n)
+        for c in range(3)
+    ]
+    geom = jnp.stack(
+        rows + [jnp.zeros((n,), rows[0].dtype)] * (GEOM_ROWS - 3), axis=0
+    )
+    geom = jax.lax.stop_gradient(geom)
+
+    # dists with the reference's 1e-10 terminal delta; zeros on padding
+    dists = jnp.concatenate(
+        [z[1:] - z[:-1], jnp.full((1,), 1e-10, z.dtype),
+         jnp.zeros((s_pad - s,), z.dtype)]
+    )
+    valid = (jnp.arange(s_pad) < s).astype(jnp.float32)
+    # occlusion mask: the reference's use_back=False quirk covers the FULL
+    # ray (losses.py:76-91) — padded samples still drop out via dist 0
+    occl_mask = jnp.ones((s_pad,), jnp.float32)
+
+    # per-sample latents [LAT_ROWS, n] from the table (one thin matmul;
+    # its vjp pulls the per-sample cotangents back to the table)
+    phases_pt = jnp.repeat(ray_phases.astype(jnp.int32), s_pad)
+
+    def build_lat(latents):
+        onehot = jax.nn.one_hot(
+            phases_pt, latents.shape[0], dtype=jnp.float32
+        )  # [n, P]
+        lat = jax.lax.dot_general(
+            latents, onehot, (((0,), (1,)), ((), ()))
+        )  # [D, n]
+        d = lat.shape[0]
+        if d < LAT_ROWS:
+            lat = jnp.concatenate(
+                [lat, jnp.zeros((LAT_ROWS - d, n), lat.dtype)], axis=0
+            )
+        return lat
+
+    lat_fm, lat_vjp = jax.vjp(build_lat, params_t["latents"])
+
+    # per-ray values expanded per sample (lane-friendly kernel blocks)
+    gt_pt = jnp.repeat(pixels, s_pad)
+    wts_pt = jnp.repeat(weights, s_pad)
+    i0_pt = jnp.repeat(initial_intensities, s_pad)
+
+    s_pack, s_pack_vjp = jax.vjp(
+        lambda p: ff._pack_static(p, cfg_s, window_s), params_s
+    )
+    t_pack, t_pack_vjp = jax.vjp(
+        lambda p: ff._pack_temporal(p, cfg_t, window_t), params_t
+    )
+
+    s_specs, s_vals = ff._pack_specs(s_pack, with_latent=False)
+    t_specs, t_vals = ff._pack_specs(t_pack, with_latent=True)
+
+    hp_tuple = (
+        hp.output_activation, float(hp.skewness_val),
+        float(hp.entro_mask_thre), bool(hp.entro_use_weighting),
+        float(hp.entro_weighted_thresh),
+        float(getattr(hp, "entro_clip_threshold", 1e-19)),
+    )
+    lw = jnp.zeros((8, 1), jnp.float32)
+    lw = lw.at[:4, 0].set(loss_weights_vec.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _train_kernel,
+        cfg_s.num_early_layers, cfg_t.num_early_layers,
+        ff._dtype_from_name(hp.compute_dtype),
+        ff._share_enc(cfg_s, cfg_t), ff._enc_spec(cfg_s), ff._enc_spec(cfg_t),
+        rt, s_pad, r, s, hp_tuple,
+    )
+
+    wh_s_shape = s_pack["wh"].shape
+    bh_s_shape = s_pack["bh"].shape
+    wh_t_shape = t_pack["wh"].shape
+    bh_t_shape = t_pack["bh"].shape
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((TERMS, 1), jnp.float32),  # terms
+        jax.ShapeDtypeStruct((LAT_ROWS, n), jnp.float32),  # dlat per-sample
+        jax.ShapeDtypeStruct((WIDTH, WIDTH), jnp.float32),
+        jax.ShapeDtypeStruct((WIDTH, 1), jnp.float32),
+        jax.ShapeDtypeStruct(wh_s_shape, jnp.float32),
+        jax.ShapeDtypeStruct(bh_s_shape, jnp.float32),
+        jax.ShapeDtypeStruct((GEOM_ROWS, WIDTH), jnp.float32),
+        jax.ShapeDtypeStruct((GEOM_ROWS, 1), jnp.float32),
+        jax.ShapeDtypeStruct((WIDTH, WIDTH), jnp.float32),
+        jax.ShapeDtypeStruct((WIDTH, LAT_ROWS), jnp.float32),
+        jax.ShapeDtypeStruct((WIDTH, 1), jnp.float32),
+        jax.ShapeDtypeStruct(wh_t_shape, jnp.float32),
+        jax.ShapeDtypeStruct(bh_t_shape, jnp.float32),
+        jax.ShapeDtypeStruct((GEOM_ROWS, WIDTH), jnp.float32),
+        jax.ShapeDtypeStruct((GEOM_ROWS, 1), jnp.float32),
+    ]
+    tile = rt * s_pad
+    out_specs = [
+        ff._rep((TERMS, 1)),
+        ff._fm_tiled(LAT_ROWS, tile),
+        ff._rep((WIDTH, WIDTH)),
+        ff._rep((WIDTH, 1)),
+        ff._rep(wh_s_shape),
+        ff._rep(bh_s_shape),
+        ff._rep((GEOM_ROWS, WIDTH)),
+        ff._rep((GEOM_ROWS, 1)),
+        ff._rep((WIDTH, WIDTH)),
+        ff._rep((WIDTH, LAT_ROWS)),
+        ff._rep((WIDTH, 1)),
+        ff._rep(wh_t_shape),
+        ff._rep(bh_t_shape),
+        ff._rep((GEOM_ROWS, WIDTH)),
+        ff._rep((GEOM_ROWS, 1)),
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            ff._fm_tiled(GEOM_ROWS, tile),
+            ff._fm_tiled(LAT_ROWS, tile),
+            ff._vec_tiled(tile),  # gt per sample
+            ff._vec_tiled(tile),  # weights per sample
+            ff._vec_tiled(tile),  # i0 per sample
+            ff._rep((s_pad,)),  # dists
+            ff._rep((s_pad,)),  # occl mask
+            ff._rep((s_pad,)),  # valid
+            ff._rep((8, 1)),  # loss weights
+            *s_specs,
+            *t_specs,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=ff._INTERPRET,
+    )(
+        geom, jax.lax.stop_gradient(lat_fm), gt_pt, wts_pt, i0_pt,
+        dists, occl_mask, valid, lw,
+        *s_vals, *t_vals,
+    )
+
+    (terms, dlat, dw1s, db1s, dwhs, dbhs, dwos, dbos,
+     dw1t, dw1lt, db1t, dwht, dbht, dwot, dbot) = outs
+
+    zero = jnp.zeros_like
+    ds_pack = {"F": zero(s_pack["F"]), "phase": zero(s_pack["phase"]),
+               "wm": zero(s_pack["wm"]), "w1": dw1s, "b1": db1s,
+               "wh": dwhs, "bh": dbhs, "wo": dwos, "bo": dbos}
+    dt_pack = {"F": zero(t_pack["F"]), "phase": zero(t_pack["phase"]),
+               "wm": zero(t_pack["wm"]), "w1": dw1t, "w1l": dw1lt,
+               "b1": db1t, "wh": dwht, "bh": dbht, "wo": dwot, "bo": dbot}
+
+    grads_s = s_pack_vjp(ds_pack)[0]
+    grads_t = t_pack_vjp(dt_pack)[0]
+    dlatents = lat_vjp(dlat)[0]
+    grads_t = dict(grads_t)
+    grads_t["latents"] = grads_t.get("latents", 0.0) + dlatents
+
+    term_dict = {
+        "pixel_loss": terms[T_PIX, 0],
+        "favor_s": terms[T_FAVOR, 0],
+        "s_entropy": terms[T_S_ENT, 0],
+        "s_entropy_sum": terms[T_S_SIG, 0],
+        "d_entropy": terms[T_D_ENT, 0],
+        "d_entropy_sum": terms[T_D_SIG, 0],
+        "occl": terms[T_OCCL, 0],
+        "l1": terms[T_L1, 0],
+        "l2": terms[T_L2, 0],
+        "blendw": terms[T_BLENDW, 0],
+        "sigma_s_max": terms[T_SMAX, 0],
+        "sigma_d_max": terms[T_DMAX, 0],
+    }
+    loss = (
+        term_dict["pixel_loss"]
+        + loss_weights_vec[0] * term_dict["favor_s"]
+        + loss_weights_vec[1] * term_dict["d_entropy"]
+        + loss_weights_vec[2] * term_dict["occl"]
+        + loss_weights_vec[3] * term_dict["l2"]
+        + loss_weights_vec[3] * term_dict["l1"]
+    )
+    return loss, term_dict, grads_s, grads_t

@@ -173,6 +173,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="points per tile in the fused Pallas kernel "
                         "(compiled TPU path needs a multiple of 1024 to "
                         "match XLA's 1-D f32 layout tiling)")
+    p.add_argument("--use_fused_loss", type=_bool, default=False,
+                   help="monolithic Pallas train-gradient kernel (render + "
+                        "losses + backprop in one pass; coarse path only)")
     p.add_argument("--steps_per_chunk", type=int, default=None,
                    help="train steps per jitted scan chunk (default: log_every)")
     p.add_argument("--resume_from", type=str, default=None,

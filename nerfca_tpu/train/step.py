@@ -89,6 +89,9 @@ class CompositeHParams:
     compute_dtype: str = "float32"
     use_pallas: bool = False
     pallas_tile: int = 1024
+    # monolithic train-gradient kernel (render + losses + backprop in one
+    # Pallas pass; coarse path only — see ops/pallas/fused_train.py)
+    use_fused_loss: bool = False
 
     @property
     def dtype(self):
@@ -462,6 +465,17 @@ def make_composite_train_step(
     """Build the single-iteration update function (not yet jitted)."""
     s_fine = hp.depth_samples_fine
 
+    from nerfca_tpu.ops.pallas.fused_train import (
+        fused_train_loss_and_grads,
+        fused_train_supported,
+    )
+
+    fused = (
+        fused_train_supported(cfgs["static"], cfgs["temp"], hp)
+        and hp.img_sample_size % 2 == 0
+        and batch_sharding is None  # pallas_call is single-device
+    )
+
     def train_step(state: TrainState, rays, phases, var_ids, non_var_ids,
                    sched=None):
         rng, k_sample, k_depth, k_fine = jax.random.split(state.rng, 4)
@@ -478,20 +492,73 @@ def make_composite_train_step(
 
         z = stratify_depths(k_depth, depth_values_base)
 
-        def lf(p):
-            return composite_loss_fn(
-                p, batch, z, state.step, cfgs, hp,
-                rng=k_fine if s_fine > 0 else None,
-                sched=sched,
+        if fused:
+            loss, metrics, grads = _fused_loss_metrics_grads(
+                state.params, batch, z, state.step, cfgs, hp, sched,
+                fused_train_loss_and_grads,
             )
+        else:
+            def lf(p):
+                return composite_loss_fn(
+                    p, batch, z, state.step, cfgs, hp,
+                    rng=k_fine if s_fine > 0 else None,
+                    sched=sched,
+                )
 
-        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+            (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+                state.params
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1, rng)
         return new_state, metrics
 
     return train_step
+
+
+def _fused_loss_metrics_grads(params, batch, z, step, cfgs, hp, sched,
+                              fused_fn):
+    """Run the monolithic train-gradient kernel and assemble the SAME
+    metrics dict composite_loss_fn produces (names and semantics)."""
+    windows = {
+        "static": field_window(cfgs["static"], step),
+        "temp": field_window(cfgs["temp"], step),
+    }
+    weights = loss_weights(step, hp, sched)
+    lw = jnp.stack(
+        [weights["favor_s"], weights["dynamic_entro"], weights["occl"],
+         weights["l1"]]
+    )
+    loss, terms, g_s, g_t = fused_fn(
+        params["static"], params["temp"],
+        batch["origins"], batch["directions"], z, batch["phases"],
+        batch["pixels"], batch["weights"], batch["initial_intensities"],
+        cfgs["static"], cfgs["temp"], windows["static"], windows["temp"],
+        lw, hp,
+    )
+    metrics = {
+        "train_pixel_loss_coarse": terms["pixel_loss"],
+        "train_blendw": terms["blendw"],
+        "train_sigma_s_max": terms["sigma_s_max"],
+        "train_sigma_d_max": terms["sigma_d_max"],
+        "train_favor_s_loss": terms["favor_s"],
+        "train_s_entropy_loss": terms["s_entropy"],
+        "train_d_entropy_loss": terms["d_entropy"],
+        "train_s_entropy_sum": terms["s_entropy_sum"],
+        "train_d_entropy_sum": terms["d_entropy_sum"],
+        "train_d_occl_loss": terms["occl"],
+        "train_s_l1": terms["l1"],
+        "train_s_l2": terms["l2"],
+        "favor_s_weight": weights["favor_s"],
+        "dynamic_entro_weight": weights["dynamic_entro"],
+        "occl_weight": weights["occl"],
+        "l1_weight": weights["l1"],
+        "train_static_windowed": window_alpha(cfgs["static"], step),
+        "train_temp_windowed": window_alpha(cfgs["temp"], step),
+        "train_loss": loss,
+        "train_psnr": -10.0 * jnp.log10(loss),
+    }
+    return loss, metrics, {"static": g_s, "temp": g_t}
 
 
 def make_train_chunk(train_step, n_steps: int):

@@ -136,6 +136,7 @@ def composite_hparams_from_args(args) -> CompositeHParams:
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         pallas_tile=args.pallas_tile,
+        use_fused_loss=args.use_fused_loss,
     )
 
 
