@@ -74,23 +74,51 @@ def _kernel_correctness_check(params, cfgs, hp) -> str:
 
         return jax.jit(jax.value_and_grad(loss))
 
-    lf, gf = make(hp_fused)(params)
-    lr, gr = make(hp_ref)(params)
-    lf, lr = float(lf), float(lr)
-    assert abs(lf - lr) <= 1e-3 * max(abs(lr), 1e-6), (
-        f"fused/unfused LOSS divergence on hardware: {lf} vs {lr}"
-    )
-    flat_f = jax.tree_util.tree_flatten_with_path(gf)[0]
-    flat_r = jax.tree.leaves(gr)
-    for (path, a), b in zip(flat_f, flat_r):
-        a = np.asarray(a, np.float64)
-        b = np.asarray(b, np.float64)
-        scale = max(float(np.abs(b).max()), 1e-8)
-        err = float(np.abs(a - b).max()) / scale
-        assert err < 5e-3, (
-            f"fused/unfused GRAD divergence at {jax.tree_util.keystr(path)}: "
-            f"rel {err:.2e} (scale {scale:.2e})"
+    def check(tag, lf, gf, lr, gr):
+        lf, lr = float(lf), float(lr)
+        assert abs(lf - lr) <= 1e-3 * max(abs(lr), 1e-6), (
+            f"{tag} LOSS divergence on hardware: {lf} vs {lr}"
         )
+        flat_f = jax.tree_util.tree_flatten_with_path(gf)[0]
+        flat_r = jax.tree.leaves(gr)
+        for (path, a), b in zip(flat_f, flat_r):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            scale = max(float(np.abs(b).max()), 1e-8)
+            err = float(np.abs(a - b).max()) / scale
+            assert err < 5e-3, (
+                f"{tag} GRAD divergence at {jax.tree_util.keystr(path)}: "
+                f"rel {err:.2e} (scale {scale:.2e})"
+            )
+
+    lr, gr = make(hp_ref)(params)
+
+    # gate the SHIPPING path: the monolithic train-gradient kernel vs the
+    # plain-XLA reference. (The two-kernel field path keeps interpret-mode
+    # tests and is exercised by eval renders; gating it here too would add
+    # another multi-minute remote compile to every bench run.)
+    from nerfca_tpu.ops.pallas.fused_train import fused_train_loss_and_grads
+    from nerfca_tpu.train.step import field_window, loss_weights
+
+    windows = {
+        "static": field_window(cfgs["static"], step),
+        "temp": field_window(cfgs["temp"], step),
+    }
+    w = loss_weights(step, hp_fused)
+    lw = jnp.stack([w["favor_s"], w["dynamic_entro"], w["occl"], w["l1"]])
+
+    @jax.jit
+    def fused_loss_grads(p):
+        loss, _, g_s, g_t = fused_train_loss_and_grads(
+            p["static"], p["temp"], batch["origins"], batch["directions"],
+            z, batch["phases"], batch["pixels"], batch["weights"],
+            batch["initial_intensities"], cfgs["static"], cfgs["temp"],
+            windows["static"], windows["temp"], lw, hp_fused,
+        )
+        return loss, {"static": g_s, "temp": g_t}
+
+    lm, gm = fused_loss_grads(params)
+    check("fused-loss-kernel", lm, gm, lr, gr)
     return "ok"
 
 
@@ -116,8 +144,10 @@ def main() -> None:
     # fused Pallas field kernels on accelerators; plain XLA on CPU
     kernel_check = "skipped-cpu"
     if jax.default_backend() != "cpu":
-        hp = dataclasses.replace(hp, use_pallas=True, pallas_tile=1024)
-        # every recorded bench implicitly certifies the compiled kernel
+        hp = dataclasses.replace(
+            hp, use_pallas=True, pallas_tile=1024, use_fused_loss=True
+        )
+        # every recorded bench implicitly certifies the compiled kernels
         kernel_check = _kernel_correctness_check(params, cfgs, hp)
     tx = make_optimizer(1e-3, 0.01, 150000)
     state = TrainState(

@@ -80,55 +80,66 @@ def _act_sigma(raw, activation: str):
     return a * 1e-2
 
 
-def _tile_loss(raw_s, raw_t, gt_pt, wts_pt, i0_pt, dists, occl_mask, valid,
-               lw, hp_tuple, rt, s_pad, n_rays_total, s_valid):
+def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
+               seg, lw, hp_tuple, n_rays_total, s_valid):
     """Per-tile partial of the TOTAL training loss, plus metric partials.
 
-    ``raw_s``/``raw_t``: [rt*s_pad] raw densities; ``gt_pt``/``wts_pt``/
-    ``i0_pt`` are the per-ray values EXPANDED per sample (lane-friendly
-    kernel I/O); ``dists``/``occl_mask``/``valid``: [s_pad]; ``lw``:
-    traced loss weights [favor, dentro, occl, l1]. Math mirrors
-    ``ops/render.py`` and ``ops/losses.py`` exactly, restructured as
-    partial sums over STATIC divisors so the in-kernel VJP yields the
-    global cotangents.
+    Everything lives in PER-SAMPLE row-vector layout [1, T] (Mosaic has no
+    shape-cast for (T,) -> (rt, s_pad), so there are NO reshapes here):
+
+      - ``seg`` [rt, T]: segment-indicator matrix; per-ray sums are one
+        thin matmul and broadcasting them back per sample is another.
+      - ``first`` [1, T]: 1 at each ray's first sample — terms that count
+        once per ray sum ``first * value`` over samples.
+      - ``gt``/``wts``/``i0`` are per-ray values expanded per sample.
+
+    Math mirrors ``ops/render.py`` and ``ops/losses.py`` exactly,
+    restructured as partial sums over STATIC divisors so the in-kernel VJP
+    yields the global cotangents.
     """
     (activation, skewness, mask_thre, use_weighting, weighted_thresh,
      clip_thr) = hp_tuple
     R = n_rays_total
 
-    gt = gt_pt.reshape(rt, s_pad)[:, 0]
-    wts = wts_pt.reshape(rt, s_pad)[:, 0]
-    i0 = i0_pt.reshape(rt, s_pad)[:, 0]
-    sig_s = _act_sigma(raw_s.reshape(rt, s_pad), activation)
-    sig_d = _act_sigma(raw_t.reshape(rt, s_pad), activation)
-    sd_s = sig_s * dists[None, :]
-    sd_d = sig_d * dists[None, :]
+    def seg_sum(vec_1t):
+        """[1, T] -> [1, T]: each sample holds its ray's segment sum."""
+        s = jax.lax.dot_general(seg, vec_1t, (((1,), (1,)), ((), ())))
+        return jax.lax.dot_general(s, seg, (((0,), (0,)), ((), ())))
 
-    # pixel term: sum_r w_r (pix_r - gt_r)^2 / R
-    pix = i0 - jnp.sum(sd_s + sd_d, axis=-1)
-    pix_partial = jnp.sum(wts * (pix - gt) ** 2) / R
+    sig_s = _act_sigma(raw_s, activation)
+    sig_d = _act_sigma(raw_t, activation)
+    sd_s = sig_s * dists
+    sd_d = sig_d * dists
+
+    # pixel term: sum_r w_r (pix_r - gt_r)^2 / R, counted once per ray
+    pix = i0 - seg_sum(sd_s + sd_d)
+    pix_partial = jnp.sum(first * wts * (pix - gt) ** 2) / R
 
     # favor_s: mean over [R, S_valid] of the blendw binary entropy
     blendw = sig_d / (sig_s + sig_d + 1e-10)
     b = jnp.clip(blendw**skewness, 1e-19, 1 - 1e-19)
     rev = jnp.clip(1 - b, 1e-19, None)
-    ent_b = -(b * jnp.log(b) + rev * jnp.log(rev)) * valid[None, :]
+    ent_b = -(b * jnp.log(b) + rev * jnp.log(rev)) * valid
     favor_partial = jnp.sum(ent_b) / (R * s_valid)
 
     def ray_entropy(sd, mask_extra=None):
-        ssum = jnp.sum(sd, axis=-1, keepdims=True)
-        mask = (ssum[..., 0] >= mask_thre)
+        ssum = seg_sum(sd)
+        mask = (ssum >= mask_thre).astype(jnp.float32)
         if mask_extra is not None:
-            mask = jnp.logical_or(mask, mask_extra)
+            mask = jnp.maximum(mask, mask_extra)
         p = sd / jnp.clip(ssum, clip_thr, None)
-        ent = mask * -jnp.sum(p * jnp.log(p + 1e-10) * valid[None, :], axis=-1)
-        return jnp.sum(ent) / R, jnp.sum(ssum) / R
+        ent = jnp.sum(mask * -(p * jnp.log(p + 1e-10)) * valid) / R
+        sig_mean = jnp.sum(first * ssum) / R
+        return ent, sig_mean
 
     s_ent_partial, s_sig_partial = ray_entropy(sd_s)
-    var_mask = (wts > 1.0 + weighted_thresh) if use_weighting else None
+    var_mask = (
+        (wts > 1.0 + weighted_thresh).astype(jnp.float32)
+        if use_weighting else None
+    )
     d_ent_partial, d_sig_partial = ray_entropy(sd_d, var_mask)
 
-    occl_partial = jnp.sum(sd_d * occl_mask[None, :]) / R
+    occl_partial = jnp.sum(sd_d * occl_mask) / R
     l1_partial = jnp.sum(sd_s)
     l2_partial = jnp.sum(sd_s**2)
 
@@ -150,7 +161,9 @@ def _tile_loss(raw_s, raw_t, gt_pt, wts_pt, i0_pt, dists, occl_mask, valid,
         "occl": occl_partial,
         "l1": l1_partial,
         "l2": l2_partial,
-        "blendw": jnp.sum(blendw * valid[None, :]) / (R * s_valid),
+        "blendw": jnp.sum(blendw * valid) / (R * s_valid),
+        # padded samples repeat the ray's last depth point, so the maxima
+        # are unaffected by padding
         "smax": jnp.max(sig_s),
         "dmax": jnp.max(sig_d),
     }
@@ -160,7 +173,7 @@ def _tile_loss(raw_s, raw_t, gt_pt, wts_pt, i0_pt, dists, occl_mask, valid,
 def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
                   rt, s_pad, n_rays_total, s_valid, hp_tuple,
                   geom_ref, lat_ref, gt_ref, wts_ref, i0_ref,
-                  dists_ref, occl_ref, valid_ref, lw_ref,
+                  dists_ref, occl_ref, valid_ref, first_ref, seg_ref, lw_ref,
                   fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                   ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
                   terms_ref, dlat_ref,
@@ -191,31 +204,37 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
         enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:],
         lat=lat, w1l=w1lt[:], dtype=dtype,
     )
-    raw_s = o_s[0]
-    raw_t = o_t[0]
+    raw_s = o_s[0:1, :]  # [1, T] row-vector layout throughout the loss
+    raw_t = o_t[0:1, :]
 
     def loss_fn(a, b):
         return _tile_loss(
-            a, b, gt_ref[:], wts_ref[:], i0_ref[:], dists_ref[:],
-            occl_ref[:], valid_ref[:], lw_ref[:][:, 0], hp_tuple,
-            rt, s_pad, n_rays_total, s_valid,
+            a, b, gt_ref[:][None, :], wts_ref[:][None, :],
+            i0_ref[:][None, :], dists_ref[:][None, :],
+            occl_ref[:][None, :], valid_ref[:][None, :],
+            first_ref[:][None, :], seg_ref[:], lw_ref[:][:, 0], hp_tuple,
+            n_rays_total, s_valid,
         )
 
     loss_partial, vjp, aux = jax.vjp(loss_fn, raw_s, raw_t, has_aux=True)
-    g_raw_s, g_raw_t = vjp(jnp.float32(1.0))
+    g_raw_s_1t, g_raw_t_1t = vjp(jnp.float32(1.0))
+    g_raw_s = g_raw_s_1t[0]
+    g_raw_t = g_raw_t_1t[0]
 
-    # accumulate loss/metric partials (sums accumulate; maxes via maximum)
+    # accumulate loss/metric partials (sums accumulate; maxes via maximum).
+    # Built scatter-free: Mosaic has no scatter lowering, so the update is
+    # a stacked vector plus iota-selected rows for the running maxima.
     t = terms_ref[:]
-    upd = jnp.zeros_like(t)
-    for idx, keyname in ((T_PIX, "pix"), (T_FAVOR, "favor"),
-                         (T_S_ENT, "s_ent"), (T_S_SIG, "s_sig"),
-                         (T_D_ENT, "d_ent"), (T_D_SIG, "d_sig"),
-                         (T_OCCL, "occl"), (T_L1, "l1"), (T_L2, "l2"),
-                         (T_BLENDW, "blendw")):
-        upd = upd.at[idx, 0].set(aux[keyname])
+    zero = jnp.float32(0.0)
+    upd = jnp.stack(
+        [aux["pix"], aux["favor"], aux["s_ent"], aux["s_sig"],
+         aux["d_ent"], aux["d_sig"], aux["occl"], aux["l1"], aux["l2"],
+         aux["blendw"], zero, zero, zero, zero, zero, zero]
+    )[:, None]
     terms = t + upd
-    terms = terms.at[T_SMAX, 0].set(jnp.maximum(t[T_SMAX, 0], aux["smax"]))
-    terms = terms.at[T_DMAX, 0].set(jnp.maximum(t[T_DMAX, 0], aux["dmax"]))
+    row = jax.lax.broadcasted_iota(jnp.int32, (TERMS, 1), 0)
+    terms = jnp.where(row == T_SMAX, jnp.maximum(t, aux["smax"]), terms)
+    terms = jnp.where(row == T_DMAX, jnp.maximum(t, aux["dmax"]), terms)
     terms_ref[:] = terms
 
     # MLP backprop with the in-kernel cotangents (row 0 carries the signal)
@@ -291,15 +310,23 @@ def fused_train_loss_and_grads(
     )
     geom = jax.lax.stop_gradient(geom)
 
-    # dists with the reference's 1e-10 terminal delta; zeros on padding
-    dists = jnp.concatenate(
+    # per-TILE constant vectors (identical for every tile, so they ride in
+    # as grid-invariant [tile] blocks): dists with the reference's 1e-10
+    # terminal delta and zeros on padding, a validity mask, the occlusion
+    # mask (the use_back=False quirk covers the FULL ray, losses.py:76-91),
+    # a first-sample-of-ray flag, and the [rt, tile] segment matrix.
+    tile = rt * s_pad
+    dists_seg = jnp.concatenate(
         [z[1:] - z[:-1], jnp.full((1,), 1e-10, z.dtype),
          jnp.zeros((s_pad - s,), z.dtype)]
     )
-    valid = (jnp.arange(s_pad) < s).astype(jnp.float32)
-    # occlusion mask: the reference's use_back=False quirk covers the FULL
-    # ray (losses.py:76-91) — padded samples still drop out via dist 0
-    occl_mask = jnp.ones((s_pad,), jnp.float32)
+    dists_t = jnp.tile(dists_seg, rt)
+    valid_t = jnp.tile((jnp.arange(s_pad) < s).astype(jnp.float32), rt)
+    occl_t = jnp.ones((tile,), jnp.float32)
+    first_t = jnp.tile(
+        (jnp.arange(s_pad) == 0).astype(jnp.float32), rt
+    )
+    seg = jnp.repeat(jnp.eye(rt, dtype=jnp.float32), s_pad, axis=1)
 
     # per-sample latents [LAT_ROWS, n] from the table (one thin matmul;
     # its vjp pulls the per-sample cotangents back to the table)
@@ -375,7 +402,6 @@ def fused_train_loss_and_grads(
         jax.ShapeDtypeStruct((GEOM_ROWS, WIDTH), jnp.float32),
         jax.ShapeDtypeStruct((GEOM_ROWS, 1), jnp.float32),
     ]
-    tile = rt * s_pad
     out_specs = [
         ff._rep((TERMS, 1)),
         ff._fm_tiled(LAT_ROWS, tile),
@@ -403,9 +429,11 @@ def fused_train_loss_and_grads(
             ff._vec_tiled(tile),  # gt per sample
             ff._vec_tiled(tile),  # weights per sample
             ff._vec_tiled(tile),  # i0 per sample
-            ff._rep((s_pad,)),  # dists
-            ff._rep((s_pad,)),  # occl mask
-            ff._rep((s_pad,)),  # valid
+            ff._rep((tile,)),  # dists (per-tile constant)
+            ff._rep((tile,)),  # occl mask
+            ff._rep((tile,)),  # valid
+            ff._rep((tile,)),  # first-of-ray flags
+            ff._rep((rt, tile)),  # segment matrix
             ff._rep((8, 1)),  # loss weights
             *s_specs,
             *t_specs,
@@ -418,7 +446,7 @@ def fused_train_loss_and_grads(
         interpret=ff._INTERPRET,
     )(
         geom, jax.lax.stop_gradient(lat_fm), gt_pt, wts_pt, i0_pt,
-        dists, occl_mask, valid, lw,
+        dists_t, occl_t, valid_t, first_t, seg, lw,
         *s_vals, *t_vals,
     )
 

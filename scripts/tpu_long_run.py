@@ -37,6 +37,7 @@ def main():
         "--hyperparam_decay_steps", str(int(n * 0.5)),
         "--favor_s_weight_delay_steps", str(int(n * 0.2)),
         "--use_pallas", "true",
+        "--use_fused_loss", "true",
         "--data_root", "data",
         "--log_dir_root", "cases",
     ])

@@ -32,6 +32,7 @@ def main():
         "--hyperparam_decay_steps", str(max(1, n_iters // 2)),
         "--favor_s_weight_delay_steps", str(max(1, n_iters // 5)),
         "--use_pallas", "true",
+        "--use_fused_loss", "true",
         "--data_root", "data",
         "--log_dir_root", "cases",
     ])
