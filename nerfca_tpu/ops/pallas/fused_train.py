@@ -102,9 +102,18 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
     R = n_rays_total
 
     def seg_sum(vec_1t):
-        """[1, T] -> [1, T]: each sample holds its ray's segment sum."""
-        s = jax.lax.dot_general(seg, vec_1t, (((1,), (1,)), ((), ())))
-        return jax.lax.dot_general(s, seg, (((0,), (0,)), ((), ())))
+        """[1, T] -> [1, T]: each sample holds its ray's segment sum.
+
+        Precision.HIGHEST is load-bearing: the default TPU matmul
+        precision feeds the MXU bf16 operands, which truncates the
+        Beer-Lambert render sums enough to shift the pixel loss by ~1e-3
+        relative — caught by bench.py's hardware gate (CPU interpret mode
+        computes true f32 and cannot see it). These are thin [rt, T]
+        matmuls; the 3-pass f32 cost is negligible."""
+        s = jax.lax.dot_general(seg, vec_1t, (((1,), (1,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.dot_general(s, seg, (((0,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
 
     sig_s = _act_sigma(raw_s, activation)
     sig_d = _act_sigma(raw_t, activation)
