@@ -169,8 +169,10 @@ def main() -> None:
             hp, use_pallas=True, pallas_tile=1024, use_fused_loss=True
         )
     tx = make_optimizer(1e-3, 0.01, 150000)
+    # the chunk donates its state, so the timing loop gets a COPY of the
+    # params — the originals stay alive for the correctness gate below
     state = TrainState(
-        params=params,
+        params=jax.tree.map(jnp.copy, params),
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
         rng=jax.random.PRNGKey(0),
