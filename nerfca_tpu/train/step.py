@@ -529,12 +529,16 @@ def _fused_loss_metrics_grads(params, batch, z, step, cfgs, hp, sched,
         [weights["favor_s"], weights["dynamic_entro"], weights["occl"],
          weights["l1"]]
     )
+    # rays per kernel tile from the configured tile size (s_pad granularity
+    # is 512; pallas_tile 1024 -> 2 rays, 2048 -> 4)
+    s_pad = ((z.shape[0] + 511) // 512) * 512
+    rt = max(2, hp.pallas_tile // s_pad) if hp.pallas_tile >= 2 * s_pad else 2
     loss, terms, g_s, g_t = fused_fn(
         params["static"], params["temp"],
         batch["origins"], batch["directions"], z, batch["phases"],
         batch["pixels"], batch["weights"], batch["initial_intensities"],
         cfgs["static"], cfgs["temp"], windows["static"], windows["temp"],
-        lw, hp,
+        lw, hp, rays_per_tile=rt,
     )
     metrics = {
         "train_pixel_loss_coarse": terms["pixel_loss"],

@@ -201,3 +201,31 @@ def test_fused_step_matches_standard_step():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
         )
+
+
+def test_fused_train_four_rays_per_tile():
+    """rays_per_tile=4 (tile 2048) matches the reference path too."""
+    params, cfgs, hp, batch, z = _setup()
+    step = jnp.asarray(20)
+
+    def ref_loss(p):
+        return composite_loss_fn(p, batch, z, step, cfgs, hp)
+
+    (ref_l, _), ref_g = jax.value_and_grad(ref_loss, has_aux=True)(params)
+    w = loss_weights(step, hp)
+    lw = jnp.stack([w["favor_s"], w["dynamic_entro"], w["occl"], w["l1"]])
+    window = free_window_mask(4, 20, 100, 1)
+    loss, _, g_s, g_t = fused_train_loss_and_grads(
+        params["static"], params["temp"],
+        batch["origins"], batch["directions"], z, batch["phases"],
+        batch["pixels"], batch["weights"], batch["initial_intensities"],
+        cfgs["static"], cfgs["temp"], window, window, lw, hp,
+        rays_per_tile=4,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves({"static": g_s, "temp": g_t}), jax.tree.leaves(ref_g)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-8
+        )
