@@ -113,6 +113,23 @@ class CheckpointManager:
         self.maximize = maximize
         self.best_metric: Optional[float] = None
         self.best_step: Optional[int] = None
+        # A resumed run reuses the log dir: seed best_step/best_metric from
+        # the persisted record so _prune never deletes the directory the
+        # existing checkpoint-best symlink points to.
+        best_json = os.path.join(self.root, "checkpoint-best.json")
+        best_link = os.path.join(self.root, "checkpoint-best")
+        if os.path.exists(best_json):
+            try:
+                with open(best_json) as f:
+                    rec = json.load(f)
+                self.best_metric = float(rec["metric"])
+                self.best_step = int(rec["step"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                pass
+        elif os.path.islink(best_link):
+            target = os.path.basename(os.readlink(best_link))
+            if target.startswith("checkpoint-") and target[11:].isdigit():
+                self.best_step = int(target[11:])  # metric unknown: keep it
 
     def _link(self, name: str, target_dir: str) -> None:
         path = os.path.join(self.root, name)
@@ -143,6 +160,8 @@ class CheckpointManager:
         ):
             self.best_metric, self.best_step = float(metric), step
             self._link("checkpoint-best", directory)
+            with open(os.path.join(self.root, "checkpoint-best.json"), "w") as f:
+                json.dump({"step": step, "metric": self.best_metric}, f)
 
         self._prune()
         return directory

@@ -255,8 +255,16 @@ def overwrite_args(run_args, overrides: dict):
         cur = getattr(new_args, key, None)
         if isinstance(val, str) and isinstance(cur, (int, float)) and not isinstance(cur, bool):
             try:
-                val = type(cur)(float(val))
+                num = float(val)
             except ValueError:
-                pass
+                pass  # non-numeric string: pass through untouched
+            else:
+                if isinstance(cur, int) and not num.is_integer():
+                    raise ValueError(
+                        f"override {key}={val!r} is fractional but the "
+                        f"attribute is int-typed (current value {cur!r}); "
+                        "refusing lossy truncation"
+                    )
+                val = type(cur)(num)
         setattr(new_args, key, val)
     return new_args

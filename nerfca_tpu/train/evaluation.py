@@ -299,6 +299,7 @@ def test_metrics(
             entro_use_weighting=hp.entro_use_weighting,
             entro_weighted_thresh=hp.entro_weighted_thresh,
             occl_reg_perc=hp.occl_reg_perc,
+            entro_clip_threshold=hp.entro_clip_threshold,
         )
         test_loss = test_loss + _regularized_loss(
             pixel_loss_fine, losses, weights_sched

@@ -130,7 +130,7 @@ def window_alpha(cfg: FieldConfig, step):
 def sample_ray_batch(key, rays, phases, var_ids, non_var_ids, hp: CompositeHParams):
     """On-device batch sampling with variance-ray oversampling
     (``run_composite.py:250-263``). Sampling is with replacement, matching
-    ``np.random.choice``'s default."""
+    the reference's ``np.random.randint`` draws over the id sets."""
     n = hp.img_sample_size
     if hp.nb_var_rays > 0 and var_ids is not None:
         k1, k2 = jax.random.split(key)
@@ -439,6 +439,7 @@ def composite_loss_fn(
             entro_use_weighting=hp.entro_use_weighting,
             entro_weighted_thresh=hp.entro_weighted_thresh,
             occl_reg_perc=hp.occl_reg_perc,
+            entro_clip_threshold=hp.entro_clip_threshold,
         )
         loss = loss + _regularized_loss(pixel_loss_f, losses_f, weights)
         metrics["train_pixel_loss_fine"] = pixel_loss_f
@@ -470,9 +471,10 @@ def make_composite_train_step(
         fused_train_supported,
     )
 
+    rt = _fused_rays_per_tile(hp, depth_values_base.shape[0])
     fused = (
         fused_train_supported(cfgs["static"], cfgs["temp"], hp)
-        and hp.img_sample_size % 2 == 0
+        and hp.img_sample_size % rt == 0
         and batch_sharding is None  # pallas_call is single-device
     )
 
@@ -495,7 +497,7 @@ def make_composite_train_step(
         if fused:
             loss, metrics, grads = _fused_loss_metrics_grads(
                 state.params, batch, z, state.step, cfgs, hp, sched,
-                fused_train_loss_and_grads,
+                fused_train_loss_and_grads, rt,
             )
         else:
             def lf(p):
@@ -516,8 +518,16 @@ def make_composite_train_step(
     return train_step
 
 
+def _fused_rays_per_tile(hp, n_depth_samples: int) -> int:
+    """Rays per kernel tile from the configured tile size (s_pad granularity
+    is 512; pallas_tile 1024 -> 2 rays, 2048 -> 4). Shared with the fused-path
+    gate so img_sample_size divisibility is checked against the ACTUAL rt."""
+    s_pad = ((n_depth_samples + 511) // 512) * 512
+    return max(2, hp.pallas_tile // s_pad) if hp.pallas_tile >= 2 * s_pad else 2
+
+
 def _fused_loss_metrics_grads(params, batch, z, step, cfgs, hp, sched,
-                              fused_fn):
+                              fused_fn, rt):
     """Run the monolithic train-gradient kernel and assemble the SAME
     metrics dict composite_loss_fn produces (names and semantics)."""
     windows = {
@@ -529,10 +539,6 @@ def _fused_loss_metrics_grads(params, batch, z, step, cfgs, hp, sched,
         [weights["favor_s"], weights["dynamic_entro"], weights["occl"],
          weights["l1"]]
     )
-    # rays per kernel tile from the configured tile size (s_pad granularity
-    # is 512; pallas_tile 1024 -> 2 rays, 2048 -> 4)
-    s_pad = ((z.shape[0] + 511) // 512) * 512
-    rt = max(2, hp.pallas_tile // s_pad) if hp.pallas_tile >= 2 * s_pad else 2
     loss, terms, g_s, g_t = fused_fn(
         params["static"], params["temp"],
         batch["origins"], batch["directions"], z, batch["phases"],

@@ -116,3 +116,29 @@ def test_checkpoint_manager_retention(tmp_path):
     # the stable path restores the LATEST state
     restored = load_checkpoint(str(tmp_path / "checkpoint"), make_state(cfgs, tx))
     assert int(restored.step) == 3
+
+
+def test_checkpoint_manager_resume_preserves_best(tmp_path):
+    """A resumed run builds a FRESH manager over the same log dir: the
+    persisted best record must seed it so pruning never deletes (or a
+    worse later metric never displaces) the existing best checkpoint."""
+    import os
+
+    from nerfca_tpu.train.checkpoint import CheckpointManager
+
+    cfgs = tiny_cfgs()
+    tx = make_optimizer(1e-3, 0.01, 100)
+    state = make_state(cfgs, tx)
+
+    mgr = CheckpointManager(str(tmp_path), keep_last_n=1)
+    for i, m in enumerate([10.0, 30.0]):  # best at step 1
+        mgr.save(state._replace(step=jnp.asarray(i, jnp.int32)), cfgs, metric=m)
+
+    # resume: new manager, same dir, worse metrics arriving at later steps
+    mgr2 = CheckpointManager(str(tmp_path), keep_last_n=1)
+    assert mgr2.best_step == 1 and mgr2.best_metric == 30.0
+    for i, m in enumerate([5.0, 7.0], start=2):
+        mgr2.save(state._replace(step=jnp.asarray(i, jnp.int32)), cfgs, metric=m)
+
+    assert os.readlink(os.path.join(tmp_path, "checkpoint-best")) == "checkpoint-1"
+    assert os.path.isdir(os.path.join(tmp_path, "checkpoint-1"))  # not pruned

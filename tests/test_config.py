@@ -105,3 +105,16 @@ def test_overwrite_args():
     new = overwrite_args(args, {"lr": 0.5, "data_name": "X"})
     assert new.lr == 0.5 and new.data_name == "X"
     assert args.lr != 0.5  # original untouched
+
+
+def test_overwrite_args_rejects_lossy_int_coercion():
+    args = parse_args([])
+    # integral string -> int attr is fine
+    new = overwrite_args(args, {"n_iters": "500"})
+    assert new.n_iters == 500 and isinstance(new.n_iters, int)
+    # fractional string -> int attr must raise, not truncate to 0
+    with pytest.raises(ValueError, match="fractional"):
+        overwrite_args(args, {"n_iters": "0.5"})
+    # non-numeric strings pass through untouched
+    new = overwrite_args(args, {"lr": "not-a-number"})
+    assert new.lr == "not-a-number"

@@ -125,9 +125,18 @@ def test_2d_mesh_train_and_render_compose():
 
 
 def test_multihost_helpers_single_process():
+    import warnings
+
     from nerfca_tpu.parallel.multihost import initialize, shard_sweep
 
-    info = initialize()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        info = initialize()
+    # expected on a single-process host; asserted so the suite stays
+    # warning-clean
+    assert info["process_count"] > 1 or any(
+        "single-process" in str(x.message) for x in w
+    )
     assert info["process_count"] >= 1
     grid = list(range(7))
     assert shard_sweep(grid, process_id=0, process_count=2) == [0, 2, 4, 6]
