@@ -291,6 +291,7 @@ def fused_train_loss_and_grads(
     loss_weights_vec,
     hp,
     rays_per_tile: int = 2,
+    total_rays: int | None = None,
 ):
     """One-pass training loss + parameter gradients for the coarse
     composite objective.
@@ -298,6 +299,12 @@ def fused_train_loss_and_grads(
     Returns ``(loss, term_dict, grads_s, grads_t)`` where ``term_dict``
     carries the individual (unweighted) loss terms for the metrics dict.
     ``loss_weights_vec``: traced ``[favor, dentro, occl, l1]``.
+
+    ``total_rays``: global ray count for the mean normalizations when this
+    call computes one shard of a data-parallel batch (the per-shard outputs
+    are then PARTIALS of the global means/sums — psum them across shards;
+    see :func:`fused_train_loss_and_grads_sharded`). Defaults to the local
+    ray count (single-device semantics).
     """
     r = origins.shape[0]
     s = z.shape[0]
@@ -386,7 +393,7 @@ def fused_train_loss_and_grads(
         cfg_s.num_early_layers, cfg_t.num_early_layers,
         ff._dtype_from_name(hp.compute_dtype),
         ff._share_enc(cfg_s, cfg_t), ff._enc_spec(cfg_s), ff._enc_spec(cfg_t),
-        rt, s_pad, r, s, hp_tuple,
+        rt, s_pad, total_rays if total_rays is not None else r, s, hp_tuple,
     )
 
     wh_s_shape = s_pack["wh"].shape
@@ -499,3 +506,88 @@ def fused_train_loss_and_grads(
         + loss_weights_vec[3] * term_dict["l1"]
     )
     return loss, term_dict, grads_s, grads_t
+
+
+# term_dict keys that are running MAXIMA across tiles (cross-shard reduce
+# with pmax); every other term is a partial of a global mean/sum (psum).
+_MAX_TERMS = ("sigma_s_max", "sigma_d_max")
+
+
+def fused_train_loss_and_grads_sharded(
+    mesh,
+    axis_name,
+    params_s,
+    params_t,
+    origins,
+    directions,
+    z,
+    ray_phases,
+    pixels,
+    weights,
+    initial_intensities,
+    cfg_s: FieldConfig,
+    cfg_t: FieldConfig,
+    window_s,
+    window_t,
+    loss_weights_vec,
+    hp,
+    rays_per_tile: int = 2,
+):
+    """Data-parallel composition of the monolithic train-gradient kernel.
+
+    The TPU-native replacement for the reference's single-GPU PyTorch step
+    under the SURVEY §2.5 parallelism plan: each device runs the Pallas
+    kernel on its shard of the ray batch (``shard_map`` over the
+    ``(axis_name,)`` mesh axis), with the kernel's mean normalizations set
+    to the GLOBAL ray count, so each shard emits partials of the global
+    loss/terms/gradients; one ``psum`` over ICI (``pmax`` for the sigma
+    maxima) completes the reduction — the natural grid extension of the
+    kernel's own per-tile accumulators. Results are bitwise-equal in
+    structure and numerically equal (up to f32 reduction order) to the
+    single-device call on the full batch.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    r_global = origins.shape[0]
+    n_shards = mesh.shape[axis_name]
+    assert r_global % (n_shards * rays_per_tile) == 0, (
+        r_global, n_shards, rays_per_tile
+    )
+
+    def local_fn(params_s, params_t, origins, directions, z, ray_phases,
+                 pixels, weights, initial_intensities, window_s, window_t,
+                 lw):
+        loss, terms, g_s, g_t = fused_train_loss_and_grads(
+            params_s, params_t, origins, directions, z, ray_phases,
+            pixels, weights, initial_intensities,
+            cfg_s, cfg_t, window_s, window_t, lw, hp,
+            rays_per_tile=rays_per_tile, total_rays=r_global,
+        )
+        loss = jax.lax.psum(loss, axis_name)
+        terms = {
+            k: (jax.lax.pmax(v, axis_name) if k in _MAX_TERMS
+                else jax.lax.psum(v, axis_name))
+            for k, v in terms.items()
+        }
+        g_s = jax.lax.psum(g_s, axis_name)
+        g_t = jax.lax.psum(g_t, axis_name)
+        return loss, terms, g_s, g_t
+
+    batch_spec = P(axis_name)
+    rep = P()
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, batch_spec, batch_spec, rep, batch_spec,
+                  batch_spec, batch_spec, batch_spec, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep),
+        # pallas_call's out_shape carries no varying-mesh-axes metadata, so
+        # the vma checker cannot type it; the manual psum/pmax reductions
+        # above establish the replicated outputs instead.
+        check_vma=False,
+    )(
+        params_s, params_t, origins, directions, z, ray_phases,
+        pixels, weights, initial_intensities, window_s, window_t,
+        loss_weights_vec,
+    )

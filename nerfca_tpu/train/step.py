@@ -466,17 +466,35 @@ def make_composite_train_step(
     """Build the single-iteration update function (not yet jitted)."""
     s_fine = hp.depth_samples_fine
 
+    import functools
+
     from nerfca_tpu.ops.pallas.fused_train import (
         fused_train_loss_and_grads,
+        fused_train_loss_and_grads_sharded,
         fused_train_supported,
     )
 
     rt = _fused_rays_per_tile(hp, depth_values_base.shape[0])
+    # Under data parallelism the kernel runs per-shard inside shard_map
+    # (fused_train_loss_and_grads_sharded), so each shard's ray count must
+    # still tile evenly.
+    batch_axis = None
+    n_shards = 1
+    if batch_sharding is not None and len(batch_sharding.spec) > 0:
+        batch_axis = batch_sharding.spec[0]
+        if batch_axis is not None:
+            n_shards = batch_sharding.mesh.shape[batch_axis]
     fused = (
         fused_train_supported(cfgs["static"], cfgs["temp"], hp)
-        and hp.img_sample_size % rt == 0
-        and batch_sharding is None  # pallas_call is single-device
+        and hp.img_sample_size % (rt * n_shards) == 0
     )
+    if fused and batch_axis is not None:
+        fused_fn = functools.partial(
+            fused_train_loss_and_grads_sharded, batch_sharding.mesh,
+            batch_axis,
+        )
+    else:
+        fused_fn = fused_train_loss_and_grads
 
     def train_step(state: TrainState, rays, phases, var_ids, non_var_ids,
                    sched=None):
@@ -497,7 +515,7 @@ def make_composite_train_step(
         if fused:
             loss, metrics, grads = _fused_loss_metrics_grads(
                 state.params, batch, z, state.step, cfgs, hp, sched,
-                fused_train_loss_and_grads, rt,
+                fused_fn, rt,
             )
         else:
             def lf(p):

@@ -28,7 +28,7 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(ff, "_INTERPRET", True)
 
 
-def _setup(activation="softplus", use_weighting=True, seed=0):
+def _setup(activation="softplus", use_weighting=True, seed=0, r=4, s=37):
     kw = dict(
         num_early_layers=2, num_filters=128,
         pos_enc="free_windowed", pos_enc_basis=4,
@@ -44,7 +44,6 @@ def _setup(activation="softplus", use_weighting=True, seed=0):
         "static": init_static_field(ks[0], cfgs["static"]),
         "temp": init_temporal_field(ks[1], cfgs["temp"]),
     }
-    r, s = 4, 37
     hp = CompositeHParams(
         img_sample_size=r, depth_samples_coarse=s,
         output_activation=activation,

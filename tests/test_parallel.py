@@ -177,3 +177,84 @@ def test_multihost_initialize_strict_on_explicit_config(monkeypatch):
     info = multihost.initialize(coordinator_address="10.0.0.1:1234",
                                 num_processes=2, process_id=0)
     assert info["process_count"] == 1
+
+
+def test_data_parallel_fused_step_matches_single_device(monkeypatch):
+    """The monolithic train-gradient Pallas kernel composed with data
+    parallelism (shard_map + psum of the per-shard partials) must match the
+    single-device fused call on the full batch (VERDICT r2 item 2)."""
+    import nerfca_tpu.ops.pallas.fused_field as ff
+    from nerfca_tpu.ops.pallas.fused_train import (
+        fused_train_loss_and_grads,
+        fused_train_loss_and_grads_sharded,
+    )
+    from nerfca_tpu.ops.encoding import free_window_mask
+    from tests.test_fused_train import _setup
+
+    monkeypatch.setattr(ff, "_INTERPRET", True)
+    params, cfgs, hp, batch, z = _setup(r=16)
+    lw = jnp.asarray([1e-3, 1e-4, 1e-4, 1e-6], jnp.float32)
+    windows = {
+        k: free_window_mask(cfgs[k].pos_enc_basis, 50, 100, 1)
+        for k in ("static", "temp")
+    }
+    call_args = (
+        params["static"], params["temp"],
+        batch["origins"], batch["directions"], z, batch["phases"],
+        batch["pixels"], batch["weights"], batch["initial_intensities"],
+        cfgs["static"], cfgs["temp"], windows["static"], windows["temp"],
+        lw, hp,
+    )
+
+    loss1, terms1, gs1, gt1 = fused_train_loss_and_grads(*call_args)
+
+    mesh = make_mesh(8)
+    loss8, terms8, gs8, gt8 = fused_train_loss_and_grads_sharded(
+        mesh, "data", *call_args
+    )
+
+    np.testing.assert_allclose(np.asarray(loss8), np.asarray(loss1), rtol=1e-5)
+    for k in terms1:
+        np.testing.assert_allclose(
+            np.asarray(terms8[k]), np.asarray(terms1[k]), rtol=1e-5, atol=1e-12,
+            err_msg=k,
+        )
+    for (p1, g1), (p8, g8) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path({"s": gs1, "t": gt1}),
+               key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path({"s": gs8, "t": gt8}),
+               key=lambda kv: str(kv[0])),
+    ):
+        assert p1 == p8
+        np.testing.assert_allclose(
+            np.asarray(g8), np.asarray(g1), rtol=1e-4, atol=1e-7,
+            err_msg=str(p1),
+        )
+
+
+def test_data_parallel_fused_full_step(monkeypatch):
+    """End-to-end: make_composite_train_step with use_fused_loss AND a
+    batch sharding takes the sharded fused path and trains finitely."""
+    import dataclasses
+
+    import nerfca_tpu.ops.pallas.fused_field as ff
+    from tests.test_fused_train import _setup
+
+    monkeypatch.setattr(ff, "_INTERPRET", True)
+    params, cfgs, hp, batch, z = _setup(r=16)
+    hp = dataclasses.replace(hp, use_fused_loss=True)
+    tx = make_optimizer(1e-3, 1.0, 100)
+    rays, phases = synthetic_rays(256)
+    mesh = make_mesh(8)
+    bshard = batch_sharding(mesh)
+    state = TrainState(
+        replicate(mesh, {k: params[k] for k in params}),
+        replicate(mesh, tx.init(params)),
+        jnp.asarray(0, jnp.int32),
+        jax.random.PRNGKey(0),
+    )
+    step = make_composite_train_step(cfgs, hp, tx, z, 2.16, batch_sharding=bshard)
+    chunk = jax.jit(make_train_chunk(step, 2))
+    dummy = jnp.zeros(1, jnp.int32)
+    state, m = chunk(state, rays, phases, dummy, dummy)
+    assert np.isfinite(np.asarray(m["train_loss"])).all()
