@@ -181,6 +181,17 @@ def _store_frame(
     }
 
 
+def _parse_selection_view(spec) -> Optional[tuple]:
+    """'theta,phi' -> (float, float); None/empty passes through."""
+    if spec is None or (isinstance(spec, str) and not spec.strip()):
+        return None
+    if isinstance(spec, (tuple, list)):
+        t, p = spec
+    else:
+        t, p = str(spec).split(",")
+    return (float(t), float(p))
+
+
 def build_dataset(
     args,
     root: str = "data",
@@ -218,15 +229,41 @@ def build_dataset(
     with open(paths.general, "w") as fp:
         json.dump(info, fp)
 
-    phase_list = select_views(
-        limited_range=float(args.data_limited_range),
-        step_size=float(args.data_step_size),
-        numb_angles=getattr(args, "data_numb_angles", None),
-        time_range_start=int(args.data_time_range_start),
-        time_range_end=int(args.data_time_range_end),
-        limited_range_test=getattr(args, "data_limited_range_test", None),
-        step_size_test=getattr(args, "data_step_size_test", None),
-    )
+    if getattr(args, "use_experiment_name", False):
+        # curated experiment list: the json IS the per-phase view/phase list
+        # (general_helpers.py:70-78; the reference reads it from
+        # preprocess/xcat/<name>.json — here it may sit next to the dataset
+        # or under configs/experiments/)
+        from nerfca_tpu.data.views import load_experiment_views
+
+        candidates = [
+            os.path.join(root, args.data_name, "experiments",
+                         f"{args.experiment_name}.json"),
+            os.path.join("configs", "experiments",
+                         f"{args.experiment_name}.json"),
+        ]
+        for cand in candidates:
+            if os.path.isfile(cand):
+                phase_list = load_experiment_views(cand)
+                break
+        else:
+            raise FileNotFoundError(
+                f"use_experiment_name set but no experiment json found at "
+                f"{candidates}"
+            )
+    else:
+        phase_list = select_views(
+            limited_range=float(args.data_limited_range),
+            step_size=float(args.data_step_size),
+            numb_angles=getattr(args, "data_numb_angles", None),
+            time_range_start=int(args.data_time_range_start),
+            time_range_end=int(args.data_time_range_end),
+            limited_range_test=getattr(args, "data_limited_range_test", None),
+            step_size_test=getattr(args, "data_step_size_test", None),
+            selection_view=_parse_selection_view(
+                getattr(args, "selection_view", None)
+            ),
+        )
 
     # --visualize_geometry: scene plot of the first phase's acquisition
     # (reference renders it during dataset generation, datatoray.py:91-92)
@@ -348,8 +385,18 @@ def build_dataset(
     with open(paths.test, "w") as fp:
         json.dump({"frames": test_frames}, fp)
     if not os.path.exists(paths.evaluate):
+        # evaluate.json excludes the dedicated selection view (if any): the
+        # trainer's checkpoint-best retention keys on the FIRST test frame,
+        # so the reported held-out mean must not contain it.
+        sel = _parse_selection_view(getattr(args, "selection_view", None))
+        eval_frames = test_frames
+        if sel is not None:
+            eval_frames = [
+                f for f in test_frames
+                if (float(f["theta"]), float(f["phi"])) != sel
+            ]
         with open(paths.evaluate, "w") as fp:
-            json.dump({"frames": test_frames}, fp)
+            json.dump({"frames": eval_frames}, fp)
     with open(paths.srcmatrices, "w") as fp:
         json.dump(src_matrices, fp)
 

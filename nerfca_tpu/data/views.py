@@ -54,12 +54,19 @@ def select_views(
     time_range_end: int = 10,
     limited_range_test: Optional[float] = None,
     step_size_test: Optional[float] = None,
+    selection_view: Optional[tuple] = None,
 ) -> list[dict]:
     """Build the per-phase viewpoint list (the ``phase_volume_lst`` shape).
 
     Returns one dict per cardiac phase with keys ``hrt_phase`` (decimal),
     ``resp_phase``, ``train_viewpoints``, ``test_viewpoints``.
-    """
+
+    ``selection_view``: optional (theta, phi) prepended to the test views as
+    a dedicated model-selection view. The trainer's in-loop metric (and
+    therefore checkpoint-best retention) uses the FIRST test frame
+    (``run_composite.py:74-76``), so putting a dedicated view there — and
+    excluding it from ``evaluate.json`` (see ``dataset.build_dataset``) —
+    keeps model selection disjoint from the reported held-out set."""
     if limited_range_test is not None and step_size_test is not None:
         t = np.arange(-limited_range_test, limited_range_test + 1, step_size_test)
         test_angles = np.array(np.meshgrid(t, t, indexing="ij")).reshape(2, -1).T
@@ -82,6 +89,11 @@ def select_views(
             "step_size > limited_range requires numb_angles in {2, 3, 4}"
         )
 
+    if selection_view is not None:
+        test_angles = np.insert(
+            test_angles, 0, np.asarray(selection_view, dtype=float), axis=0
+        )
+
     phases = np.arange(time_range_start, time_range_end) / 10
     return [
         {
@@ -89,6 +101,36 @@ def select_views(
             "resp_phase": 0,
             "train_viewpoints": angles,
             "test_viewpoints": test_angles,
+            **(
+                {"selection_viewpoint": list(map(float, selection_view))}
+                if selection_view is not None
+                else {}
+            ),
         }
         for p in phases
     ]
+
+
+def load_experiment_views(path: str) -> list[dict]:
+    """Load a curated experiment json: the hand-written per-phase
+    view/phase list the reference reads for ``use_experiment_name``
+    (``preprocess/general_helpers.py:70-78`` — the file IS the
+    ``phase_volume_lst``). Viewpoint lists become float arrays; missing
+    ``resp_phase`` defaults to 0 and missing ``test_viewpoints`` to empty."""
+    import json
+
+    with open(path) as f:
+        phase_list = json.load(f)
+    out = []
+    for obj in phase_list:
+        row = dict(obj)
+        row["hrt_phase"] = float(obj["hrt_phase"])
+        row.setdefault("resp_phase", 0)
+        row["train_viewpoints"] = np.asarray(
+            obj["train_viewpoints"], dtype=float
+        ).reshape(-1, 2)
+        row["test_viewpoints"] = np.asarray(
+            obj.get("test_viewpoints", []), dtype=float
+        ).reshape(-1, 2)
+        out.append(row)
+    return out

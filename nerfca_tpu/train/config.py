@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_time_range_end", type=int, default=10)
     p.add_argument("--data_limited_range_test", type=_maybe(float), default=None)
     p.add_argument("--data_step_size_test", type=_maybe(float), default=None)
+    p.add_argument(
+        "--selection_view", type=_maybe(str), default=None,
+        help="'theta,phi' of a dedicated model-selection test view; it is "
+        "placed FIRST in test-*.json (the in-loop metric / checkpoint-best "
+        "view) and excluded from evaluate.json so reported held-out means "
+        "stay disjoint from model selection (no reference analog)",
+    )
 
     p.add_argument("--only_prepare_data", type=_bool, default=False)
     p.add_argument("--debug_mode", type=_bool, default=False)

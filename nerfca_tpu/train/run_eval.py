@@ -160,7 +160,13 @@ def evaluate_checkpoint(args) -> dict:
         "per_view": scores,
         "mean_psnr": float(np.mean([s["psnr"] for s in scores])),
         "mean_ssim": float(np.mean([s["ssim"] for s in scores])),
+        # per-view-ANGLE means (across phases): the 40-view mean hides
+        # per-view structure (e.g. a lateral view that never reconstructs) —
+        # report the breakdown alongside it.
+        "per_view_angle": _per_angle_means(scores),
     }
+    if getattr(args, "selection_view", None):
+        result["selection_view"] = args.selection_view
     dyn_rows = [s for s in scores if "dyn_psnr" in s]
     if dyn_rows:
         result["mean_dyn_psnr"] = float(np.mean([s["dyn_psnr"] for s in dyn_rows]))
@@ -173,6 +179,23 @@ def evaluate_checkpoint(args) -> dict:
         f"ssim={result['mean_ssim']:.4f} -> {out_dir}/eval_scores.json"
     )
     return result
+
+
+def _per_angle_means(scores: list[dict]) -> dict:
+    groups: dict[str, list[dict]] = {}
+    for s in scores:
+        groups.setdefault(f"{s['theta']}-{s['phi']}", []).append(s)
+    out = {}
+    for key, rows in groups.items():
+        entry = {
+            "psnr": float(np.mean([r["psnr"] for r in rows])),
+            "ssim": float(np.mean([r["ssim"] for r in rows])),
+            "n_phases": len(rows),
+        }
+        if all("dyn_corr" in r for r in rows):
+            entry["dyn_corr"] = float(np.mean([r["dyn_corr"] for r in rows]))
+        out[key] = entry
+    return out
 
 
 def _pearson(a: np.ndarray, b: np.ndarray) -> float:

@@ -245,3 +245,70 @@ def test_prepare_data_cli_writes_mip_and_geometry_png(tmp_path):
     mip = np.load(os.path.join(folder, mips[0]))
     assert mip.shape == (50, 50) and np.isfinite(mip).all() and mip.max() > 0
     assert "geometry.png" in names
+
+
+def test_selection_view_protocol(tmp_path):
+    """--selection_view 'theta,phi' puts a dedicated model-selection view
+    FIRST in test-*.json (the checkpoint-best view) and EXCLUDES it from
+    evaluate.json, so the reported held-out mean is disjoint from model
+    selection (VERDICT r2 item 4)."""
+    args = synth_args(tmp_path, selection_view="15,0")
+    paths = build_dataset(args, str(tmp_path / "data"), projector_samples=32)
+
+    with open(paths.test) as f:
+        test_frames = json.load(f)["frames"]
+    with open(paths.evaluate) as f:
+        eval_frames = json.load(f)["frames"]
+
+    # selection view leads the test list (trainer takes test_frames[0])
+    assert (test_frames[0]["theta"], test_frames[0]["phi"]) == (15.0, 0.0)
+    # ... and never appears in the reported evaluation set
+    assert all(
+        (f["theta"], f["phi"]) != (15.0, 0.0) for f in eval_frames
+    )
+    # the clinical views are still all there (2 phases x 4 views)
+    assert len(eval_frames) == 8
+    assert len(test_frames) == 10
+
+
+def test_experiment_json_view_list(tmp_path):
+    """use_experiment_name loads the curated per-phase view/phase json
+    (general_helpers.py:70-78) instead of the grid/preset selection."""
+    exp_dir = tmp_path / "data" / "SYNTH" / "experiments"
+    os.makedirs(exp_dir)
+    experiment = [
+        {
+            "hrt_phase": 0.0,
+            "resp_phase": 0,
+            "train_viewpoints": [[-20, 10], [35, -5]],
+            "test_viewpoints": [[0, 45]],
+        },
+        {
+            "hrt_phase": 0.5,
+            "train_viewpoints": [[-20, 10]],
+        },
+    ]
+    with open(exp_dir / "curated.json", "w") as f:
+        json.dump(experiment, f)
+
+    args = synth_args(
+        tmp_path, use_experiment_name=True, experiment_name="curated"
+    )
+    paths = build_dataset(args, str(tmp_path / "data"), projector_samples=32)
+    # file naming keys on the experiment name
+    assert "curated" in os.path.basename(paths.train)
+
+    with open(paths.train) as f:
+        train_frames = json.load(f)["frames"]
+    with open(paths.test) as f:
+        test_frames = json.load(f)["frames"]
+
+    # the curated lists drive the rendered views: 2+1 train frames, 1 test
+    assert len(train_frames) == 3
+    assert len(test_frames) == 1
+    assert {(f["theta"], f["phi"]) for f in train_frames} == {
+        (-20.0, 10.0), (35.0, -5.0)
+    }
+    assert (test_frames[0]["theta"], test_frames[0]["phi"]) == (0.0, 45.0)
+    # phases follow the curated hrt_phase entries (0.0 and 0.5 -> hrt 0, 5)
+    assert {f["heart_phase"] for f in train_frames} == {0, 5}
