@@ -341,6 +341,18 @@ def normalize01(img: np.ndarray) -> np.ndarray:
     return (img - lo) / (hi - lo)
 
 
+def pearson_corr(a: np.ndarray, b: np.ndarray) -> float:
+    """Pearson correlation of two images (flattened); 0 when degenerate.
+    Used for the decomposition metric: how well the temporal field's
+    attenuation integral tracks the artery-only ground truth."""
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    a = a - a.mean()
+    b = b - b.mean()
+    denom = np.sqrt((a * a).sum() * (b * b).sum())
+    return float((a * b).sum() / denom) if denom > 0 else 0.0
+
+
 def image_psnr(pred: np.ndarray, gt: np.ndarray) -> float:
     """Standard data-range PSNR: ``10 log10(range(gt)^2 / MSE)`` on the raw
     values (pure MSE, not the reference's regularized quirk metric).

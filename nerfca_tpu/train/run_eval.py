@@ -198,13 +198,7 @@ def _per_angle_means(scores: list[dict]) -> dict:
     return out
 
 
-def _pearson(a: np.ndarray, b: np.ndarray) -> float:
-    a = np.asarray(a, np.float64).ravel()
-    b = np.asarray(b, np.float64).ravel()
-    a = a - a.mean()
-    b = b - b.mean()
-    denom = np.sqrt((a * a).sum() * (b * b).sum())
-    return float((a * b).sum() / denom) if denom > 0 else 0.0
+_pearson = evaluation.pearson_corr
 
 
 def _save_png(path, img):

@@ -160,13 +160,19 @@ def _setup_test_view(data, args):
     img = denormalize_image(
         np.load(frame["file_path"]), w, h, frame["img_min_max"]
     )
-    return {
+    view = {
         "origins": jnp.asarray(np.asarray(origins).reshape(-1, 3)),
         "directions": jnp.asarray(np.asarray(dirs).reshape(-1, 3)),
         "phases": jnp.full((w * h,), frame["heart_phase"], jnp.int32),
         "image": jnp.asarray(img.reshape(-1).astype(np.float32)),
         "shape": (w, h),
     }
+    # dynamic-component ground truth (when the dataset provides it): feeds
+    # the in-loop separation trajectory (test_dyn_corr/test_dyn_psnr)
+    dyn_path = frame["file_path"].replace(".npy", "-dyn.npy")
+    if os.path.isfile(dyn_path):
+        view["dyn_gt"] = np.load(dyn_path).reshape((w, h)).T.astype(np.float32)
+    return view
 
 
 def _chunk_size(args) -> int:
@@ -433,6 +439,19 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
         tm = evaluation.test_metrics(
             render, test_view["image"], step, hp, img_shape=test_view["shape"]
         )
+        if "dyn_gt" in test_view:
+            # separation trajectory: the temporal field's attenuation
+            # integral vs the artery-only ground-truth line integral
+            wv, hv = test_view["shape"]
+            pred_dyn = setup["max_pixel_value"] - np.asarray(
+                render["pix_temp"]
+            ).reshape(wv, hv)
+            tm["test_dyn_psnr"] = evaluation.image_psnr(
+                pred_dyn, test_view["dyn_gt"]
+            )
+            tm["test_dyn_corr"] = evaluation.pearson_corr(
+                pred_dyn, test_view["dyn_gt"]
+            )
         last_eval.update(tm)
         logger.log(tm, step=step)
         w, h = test_view["shape"]
