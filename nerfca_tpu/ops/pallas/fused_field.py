@@ -331,19 +331,29 @@ def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
 def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
                dtype=jnp.float32):
     """Backprop one field on a tile. ``g``: [8, T] output cotangent
-    (row 0 carries the signal)."""
+    (row 0 carries the signal).
+
+    ``hs`` may be ``None``: the post-ReLU activations are then recomputed
+    from the pre-activations (one ``max`` per layer — VPU-trivial). This
+    halves the residual VMEM held live across the in-kernel loss
+    computation, which is what bounds the viable tile size (16 MB VMEM/core
+    — at tile 2048 the full residual set of both fields overflows and
+    Mosaic loses its pipelining headroom)."""
     cT = (((1,), (1,)), ((), ()))  # contract along points T
     cF = (((0,), (0,)), ((), ()))  # contract along the out-feature axis
-    hL = hs[-1]
+    h_of = (lambda l: hs[l]) if hs is not None else (
+        lambda l: jnp.maximum(pres[l], 0.0)
+    )
+    n_hidden = wh.shape[0]
+    hL = h_of(n_hidden)
     dwo = _dotg(g, hL, cT, dtype)  # [8, 128]
     dbo = jnp.sum(g, axis=1, keepdims=True)
     dh = _dotg(wo, g, cF, dtype)  # [128, T]
-    n_hidden = wh.shape[0]
     dwh = []
     dbh = []
     for l in range(n_hidden - 1, -1, -1):
         dpre = dh * (pres[l + 1] > 0)
-        dwh.append(_dotg(dpre, hs[l], cT, dtype))  # [128, 128]
+        dwh.append(_dotg(dpre, h_of(l), cT, dtype))  # [128, 128]
         dbh.append(jnp.sum(dpre, axis=1, keepdims=True))
         dh = _dotg(wh[l], dpre, cF, dtype)
     dpre1 = dh * (pres[0] > 0)

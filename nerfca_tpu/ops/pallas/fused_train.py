@@ -20,10 +20,13 @@ Design points:
     over static divisors, so d(total)/d(raw_tile) = d(tile_partial)/d(raw_tile).
   - Loss/metric terms come out as a [TERMS, 1] accumulator; packed weight
     gradients accumulate across the sequential grid exactly like the
-    two-kernel backward; per-ray latent cotangents come out [LAT_ROWS, R]
-    (summed over each ray's samples in-kernel) and are pulled back through
-    the latent-table construction with ``jax.vjp`` — as are the packed
-    weights themselves, so parameter gradients need no hand mapping.
+    two-kernel backward. The packed weights are pulled back with
+    ``jax.vjp`` so parameter gradients need no hand mapping.
+  - Per-ray data (gt pixel, variance weight, I0, phase) rides in rows 3-6
+    of the [8, N] geometry stream (they were zero padding), and the time
+    latents are gathered IN-KERNEL from the [LAT_ROWS, P] table via a
+    phase-indicator matmul whose adjoint accumulates the table gradient
+    [LAT_ROWS, P] — no [N]-sized latent/gt/weight streams cross HBM.
   - The annealed loss WEIGHTS arrive as a traced [8, 1] vector, so weight
     sweeps still share this kernel's single compile.
 
@@ -181,19 +184,27 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
 
 def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
                   rt, s_pad, n_rays_total, s_valid, hp_tuple,
-                  geom_ref, lat_ref, gt_ref, wts_ref, i0_ref,
+                  geom_ref, lat_tab_ref,
                   dists_ref, occl_ref, valid_ref, first_ref, seg_ref, lw_ref,
                   fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
                   ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
-                  terms_ref, dlat_ref,
+                  terms_ref, dlat_tab_ref,
                   dw1s_ref, db1s_ref, dwhs_ref, dbhs_ref, dwos_ref, dbos_ref,
                   dw1t_ref, dw1lt_ref, db1t_ref, dwht_ref, dbht_ref,
                   dwot_ref, dbot_ref):
     geom = geom_ref[:]
+    # geometry rows double as the per-ray data channels (rows 3-6 were
+    # zero padding): gt / variance weights / I0 expanded per sample, and
+    # the ray's integer phase as f32 — one [8, N] HBM stream instead of
+    # four separate [N] arrays plus an [8, N] latent stream.
+    gt = geom[3:4, :]
+    wts = geom[4:5, :]
+    i0 = geom[5:6, :]
+    phase_row = geom[6:7, :]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        for ref in (terms_ref,
+        for ref in (terms_ref, dlat_tab_ref,
                     dw1s_ref, db1s_ref, dwhs_ref, dbhs_ref, dwos_ref,
                     dbos_ref, dw1t_ref, dw1lt_ref, db1t_ref, dwht_ref,
                     dbht_ref, dwot_ref, dbot_ref):
@@ -204,12 +215,27 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
         spec_s, spec_t,
     )
 
-    lat = lat_ref[:]  # [LAT_ROWS, rt*s_pad]
+    # per-sample latents from the [LAT_ROWS, P] table, IN-KERNEL: a
+    # [P, T] phase-indicator (iota == phase row) and one thin matmul.
+    # Replaces a [LAT_ROWS, N] HBM input + [LAT_ROWS, N] cotangent output
+    # (~32 MB/step round trip) with a [LAT_ROWS, P] accumulator.
+    # Precision.HIGHEST: the indicator is exact, but default TPU matmul
+    # precision would truncate the latent VALUES to bf16.
+    n_phases = lat_tab_ref.shape[1]
+    tile_t = geom.shape[1]
+    phase_iota = jax.lax.broadcasted_iota(
+        jnp.float32, (n_phases, tile_t), 0
+    )
+    onehot = (phase_iota == phase_row).astype(jnp.float32)  # [P, T]
+    lat = jax.lax.dot_general(
+        lat_tab_ref[:], onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [LAT_ROWS, T]
 
-    o_s, pres_s, hs_s = ff._mlp_forward(
+    o_s, pres_s, _ = ff._mlp_forward(
         enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:], bos[:], dtype=dtype
     )
-    o_t, pres_t, hs_t = ff._mlp_forward(
+    o_t, pres_t, _ = ff._mlp_forward(
         enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:],
         lat=lat, w1l=w1lt[:], dtype=dtype,
     )
@@ -218,8 +244,8 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
 
     def loss_fn(a, b):
         return _tile_loss(
-            a, b, gt_ref[:][None, :], wts_ref[:][None, :],
-            i0_ref[:][None, :], dists_ref[:][None, :],
+            a, b, gt, wts,
+            i0, dists_ref[:][None, :],
             occl_ref[:][None, :], valid_ref[:][None, :],
             first_ref[:][None, :], seg_ref[:], lw_ref[:][:, 0], hp_tuple,
             n_rays_total, s_valid,
@@ -246,12 +272,15 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     terms = jnp.where(row == T_DMAX, jnp.maximum(t, aux["dmax"]), terms)
     terms_ref[:] = terms
 
-    # MLP backprop with the in-kernel cotangents (row 0 carries the signal)
+    # MLP backprop with the in-kernel cotangents (row 0 carries the
+    # signal). hs=None: post-ReLU activations recompute from the
+    # pre-activations instead of being held live across the loss VJP —
+    # halves residual VMEM, which is what gates the tile size.
     row = jax.lax.broadcasted_iota(jnp.int32, (GEOM_ROWS, 1), 0)
     g_s_full = jnp.where(row == 0, g_raw_s[None, :], 0.0)
     g_t_full = jnp.where(row == 0, g_raw_t[None, :], 0.0)
 
-    g_s = ff._field_bwd(g_s_full, enc_s, pres_s, hs_s, whs[:], wos[:],
+    g_s = ff._field_bwd(g_s_full, enc_s, pres_s, None, whs[:], wos[:],
                         dtype=dtype)
     dw1s_ref[:] += g_s["w1"]
     db1s_ref[:] += g_s["b1"]
@@ -261,7 +290,7 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     dwos_ref[:] += g_s["wo"]
     dbos_ref[:] += g_s["bo"]
 
-    g_t = ff._field_bwd(g_t_full, enc_t, pres_t, hs_t, wht[:], wot[:],
+    g_t = ff._field_bwd(g_t_full, enc_t, pres_t, None, wht[:], wot[:],
                         lat=lat, w1l=w1lt[:], dtype=dtype)
     dw1t_ref[:] += g_t["w1"]
     dw1lt_ref[:] += g_t["w1l"]
@@ -271,7 +300,12 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
         dbht_ref[:] += g_t["bh"]
     dwot_ref[:] += g_t["wo"]
     dbot_ref[:] += g_t["bo"]
-    dlat_ref[:] = g_t["dlat"]
+    # latent-table gradient: pull the per-sample cotangents back through
+    # the phase indicator (the adjoint of the in-kernel gather matmul)
+    dlat_tab_ref[:] += jax.lax.dot_general(
+        g_t["dlat"], onehot, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def fused_train_loss_and_grads(
@@ -314,16 +348,31 @@ def fused_train_loss_and_grads(
     n = r * s_pad
     grid = (r // rt,)
 
-    # per-ray-padded geometry rows: padded samples repeat the last depth
+    # per-ray-padded geometry rows: padded samples repeat the last depth.
+    # Rows 3-6 carry the per-ray data channels (gt, variance weight, I0,
+    # phase) expanded per sample — they were zero padding, so packing them
+    # here adds NO HBM traffic while deleting four separate [N]-sized
+    # streams (three inputs + the latent gather input).
     z_pad = jnp.concatenate([z, jnp.broadcast_to(z[-1:], (s_pad - s,))])
     rows = [
         (origins[:, c : c + 1] + z_pad[None, :] * directions[:, c : c + 1])
         .reshape(n)
         for c in range(3)
     ]
-    geom = jnp.stack(
-        rows + [jnp.zeros((n,), rows[0].dtype)] * (GEOM_ROWS - 3), axis=0
-    )
+
+    def per_ray_row(v):
+        return jnp.broadcast_to(
+            v.astype(jnp.float32)[:, None], (r, s_pad)
+        ).reshape(n)
+
+    rows += [
+        per_ray_row(pixels),
+        per_ray_row(weights),
+        per_ray_row(initial_intensities),
+        per_ray_row(ray_phases),  # integer phases are exact in f32
+    ]
+    rows += [jnp.zeros((n,), rows[0].dtype)] * (GEOM_ROWS - len(rows))
+    geom = jnp.stack(rows, axis=0)
     geom = jax.lax.stop_gradient(geom)
 
     # per-TILE constant vectors (identical for every tile, so they ride in
@@ -344,30 +393,14 @@ def fused_train_loss_and_grads(
     )
     seg = jnp.repeat(jnp.eye(rt, dtype=jnp.float32), s_pad, axis=1)
 
-    # per-sample latents [LAT_ROWS, n] from the table (one thin matmul;
-    # its vjp pulls the per-sample cotangents back to the table)
-    phases_pt = jnp.repeat(ray_phases.astype(jnp.int32), s_pad)
-
-    def build_lat(latents):
-        onehot = jax.nn.one_hot(
-            phases_pt, latents.shape[0], dtype=jnp.float32
-        )  # [n, P]
-        lat = jax.lax.dot_general(
-            latents, onehot, (((0,), (1,)), ((), ()))
-        )  # [D, n]
-        d = lat.shape[0]
-        if d < LAT_ROWS:
-            lat = jnp.concatenate(
-                [lat, jnp.zeros((LAT_ROWS - d, n), lat.dtype)], axis=0
-            )
-        return lat
-
-    lat_fm, lat_vjp = jax.vjp(build_lat, params_t["latents"])
-
-    # per-ray values expanded per sample (lane-friendly kernel blocks)
-    gt_pt = jnp.repeat(pixels, s_pad)
-    wts_pt = jnp.repeat(weights, s_pad)
-    i0_pt = jnp.repeat(initial_intensities, s_pad)
+    # latent TABLE, feature-major [LAT_ROWS, P] (P = phase count): the
+    # per-sample gather runs in-kernel against a phase-indicator matmul,
+    # so no [LAT_ROWS, N] stream crosses HBM in either direction.
+    latents = params_t["latents"]  # [P, D]
+    n_phases, d_lat = latents.shape
+    lat_tab = jnp.zeros((LAT_ROWS, n_phases), jnp.float32).at[:d_lat, :].set(
+        latents.T
+    )
 
     s_pack, s_pack_vjp = jax.vjp(
         lambda p: ff._pack_static(p, cfg_s, window_s), params_s
@@ -403,7 +436,7 @@ def fused_train_loss_and_grads(
 
     out_shapes = [
         jax.ShapeDtypeStruct((TERMS, 1), jnp.float32),  # terms
-        jax.ShapeDtypeStruct((LAT_ROWS, n), jnp.float32),  # dlat per-sample
+        jax.ShapeDtypeStruct((LAT_ROWS, n_phases), jnp.float32),  # dlat tab
         jax.ShapeDtypeStruct((WIDTH, WIDTH), jnp.float32),
         jax.ShapeDtypeStruct((WIDTH, 1), jnp.float32),
         jax.ShapeDtypeStruct(wh_s_shape, jnp.float32),
@@ -420,7 +453,7 @@ def fused_train_loss_and_grads(
     ]
     out_specs = [
         ff._rep((TERMS, 1)),
-        ff._fm_tiled(LAT_ROWS, tile),
+        ff._rep((LAT_ROWS, n_phases)),
         ff._rep((WIDTH, WIDTH)),
         ff._rep((WIDTH, 1)),
         ff._rep(wh_s_shape),
@@ -441,10 +474,7 @@ def fused_train_loss_and_grads(
         grid=grid,
         in_specs=[
             ff._fm_tiled(GEOM_ROWS, tile),
-            ff._fm_tiled(LAT_ROWS, tile),
-            ff._vec_tiled(tile),  # gt per sample
-            ff._vec_tiled(tile),  # weights per sample
-            ff._vec_tiled(tile),  # i0 per sample
+            ff._rep((LAT_ROWS, n_phases)),  # latent table
             ff._rep((tile,)),  # dists (per-tile constant)
             ff._rep((tile,)),  # occl mask
             ff._rep((tile,)),  # valid
@@ -461,12 +491,12 @@ def fused_train_loss_and_grads(
         ),
         interpret=ff._INTERPRET,
     )(
-        geom, jax.lax.stop_gradient(lat_fm), gt_pt, wts_pt, i0_pt,
+        geom, jax.lax.stop_gradient(lat_tab),
         dists_t, occl_t, valid_t, first_t, seg, lw,
         *s_vals, *t_vals,
     )
 
-    (terms, dlat, dw1s, db1s, dwhs, dbhs, dwos, dbos,
+    (terms, dlat_tab, dw1s, db1s, dwhs, dbhs, dwos, dbos,
      dw1t, dw1lt, db1t, dwht, dbht, dwot, dbot) = outs
 
     zero = jnp.zeros_like
@@ -479,7 +509,9 @@ def fused_train_loss_and_grads(
 
     grads_s = s_pack_vjp(ds_pack)[0]
     grads_t = t_pack_vjp(dt_pack)[0]
-    dlatents = lat_vjp(dlat)[0]
+    # the kernel accumulated the latent-table gradient directly in
+    # [LAT_ROWS, P] form; transpose back to the [P, D] parameter layout
+    dlatents = dlat_tab[:d_lat, :].T
     grads_t = dict(grads_t)
     grads_t["latents"] = grads_t.get("latents", 0.0) + dlatents
 
