@@ -96,6 +96,19 @@ def _geometry_for(args, vol_dimensions) -> dict:
     raise ValueError(f"unknown data_name family: {name!r}")
 
 
+def _phantom_kwargs(args) -> dict:
+    """Synthetic-phantom shape knobs shared by the composite and the
+    vessel-only GT providers. Engineering the operating point (vessel
+    contrast / size / motion amplitude) is a SYNTH-family superset; use a
+    distinct ``data_name`` (e.g. ``SYNTH-HC``) so variants get their own
+    dataset folder."""
+    return {
+        "lca_val": float(getattr(args, "synth_lca_val", 1.2)),
+        "vessel_radius": float(getattr(args, "synth_vessel_radius", 0.045)),
+        "motion_scale": float(getattr(args, "synth_motion_scale", 1.0)),
+    }
+
+
 def _default_volume_provider(args) -> Callable[[int], np.ndarray]:
     """Resolve volumes per integer phase: disk artifacts, else synthetic."""
     root = getattr(args, "volume_root", None)
@@ -107,7 +120,9 @@ def _default_volume_provider(args) -> Callable[[int], np.ndarray]:
                 return np.load(path)
         if str(args.data_name).startswith("SYNTH"):
             size = int(getattr(args, "synth_vol_size", 64))
-            return synthetic_phantom_volume(size=size, phase=int_phase / 10)
+            return synthetic_phantom_volume(
+                size=size, phase=int_phase / 10, **_phantom_kwargs(args)
+            )
         raise FileNotFoundError(
             f"no volume for phase {int_phase}: set volume_root to a directory "
             f"with <phase>/full_volume_tigre.npy or use the SYNTH data family"
@@ -133,7 +148,9 @@ def _default_dynamic_provider(args) -> Callable[[int], Optional[np.ndarray]]:
                 return np.load(path)
         if str(args.data_name).startswith("SYNTH"):
             size = int(getattr(args, "synth_vol_size", 64))
-            return synthetic_vessel_volume(size=size, phase=int_phase / 10)
+            return synthetic_vessel_volume(
+                size=size, phase=int_phase / 10, **_phantom_kwargs(args)
+            )
         return None
 
     return provider

@@ -35,13 +35,16 @@ import numpy as np
 NUM_PHASES = 10
 
 
-def _vessel_centerline(ts: np.ndarray, phase: float) -> np.ndarray:
+def _vessel_centerline(
+    ts: np.ndarray, phase: float, motion_scale: float = 1.0
+) -> np.ndarray:
     """Parametric coronary-like curve in [-1, 1]^3, deformed by phase.
 
     The beat displaces the curve laterally and radially with a smooth
-    periodic profile (max displacement mid-cycle).
+    periodic profile (max displacement mid-cycle); ``motion_scale``
+    multiplies the displacement amplitude (1.0 = the original anatomy).
     """
-    beat = np.sin(np.pi * phase)  # 0 at phase 0, max at phase 0.5
+    beat = np.sin(np.pi * phase) * motion_scale  # 0 at phase 0, max mid-cycle
     x = 0.55 * np.cos(2.2 * ts + 0.3) + 0.12 * beat * np.sin(3.0 * ts)
     y = 0.55 * np.sin(2.2 * ts) * 0.8 + 0.10 * beat
     z = 0.8 * ts - 0.1 * beat * np.cos(2.0 * ts)
@@ -49,12 +52,13 @@ def _vessel_centerline(ts: np.ndarray, phase: float) -> np.ndarray:
 
 
 def _vessel_mask(
-    x: np.ndarray, y: np.ndarray, z: np.ndarray, phase: float, radius: float
+    x: np.ndarray, y: np.ndarray, z: np.ndarray, phase: float, radius: float,
+    motion_scale: float = 1.0,
 ) -> np.ndarray:
     """Boolean mask of voxels within ``radius`` of the phase-deformed
     centerline (shared by the composite volume and the vessel-only GT)."""
     ts = np.linspace(-1.0, 1.0, 96, dtype=np.float32)
-    centers = _vessel_centerline(ts, phase)  # [96, 3]
+    centers = _vessel_centerline(ts, phase, motion_scale)  # [96, 3]
     pts = np.stack([x, y, z], axis=-1)  # [S,S,S,3]
     # chunk over centerline to bound memory: track min distance
     min_d2 = np.full(x.shape, np.inf, dtype=np.float32)
@@ -80,6 +84,7 @@ def synthetic_phantom_volume(
     vessel_radius: float = 0.045,
     seed: int = 0,
     smooth_sigma: float = 1.0,
+    motion_scale: float = 1.0,
 ) -> np.ndarray:
     """One ``[size, size, size]`` float32 attenuation volume at cardiac
     ``phase`` in [0, 1).
@@ -146,7 +151,7 @@ def synthetic_phantom_volume(
     vol += 0.7 * background_val * _soft_inside(heart, edge=0.35)
 
     # dynamic vessel: distance to polyline centerline below radius
-    vessel = _vessel_mask(x, y, z, phase, vessel_radius)
+    vessel = _vessel_mask(x, y, z, phase, vessel_radius, motion_scale)
     vol = np.where(vessel, np.float32(lca_val), vol)
 
     if smooth_sigma > 0:
@@ -167,6 +172,7 @@ def synthetic_vessel_volume(
     lca_val: float = 1.2,
     vessel_radius: float = 0.045,
     smooth_sigma: float = 1.0,
+    motion_scale: float = 1.0,
 ) -> np.ndarray:
     """Vessel-ONLY attenuation volume at ``phase`` — the dynamic component's
     ground truth, analogous to the XCAT pipeline's artery volume
@@ -175,7 +181,7 @@ def synthetic_vessel_volume(
     the same smoothing."""
     lin = np.linspace(-1.0, 1.0, size, dtype=np.float32)
     x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
-    vessel = _vessel_mask(x, y, z, phase, vessel_radius)
+    vessel = _vessel_mask(x, y, z, phase, vessel_radius, motion_scale)
     vol = np.where(vessel, np.float32(lca_val), np.float32(0.0)).astype(
         np.float32
     )

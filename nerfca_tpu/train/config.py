@@ -193,6 +193,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--volume_root", type=str, default=None,
                    help="directory with <phase>/full_volume_tigre.npy volumes")
     p.add_argument("--synth_vol_size", type=int, default=64)
+    p.add_argument("--synth_lca_val", type=float, default=1.2,
+                   help="SYNTH phantom vessel attenuation (contrast agent)")
+    p.add_argument("--synth_vessel_radius", type=float, default=0.045,
+                   help="SYNTH phantom vessel radius in [-1,1] volume units")
+    p.add_argument("--synth_motion_scale", type=float, default=1.0,
+                   help="SYNTH phantom cardiac-motion amplitude multiplier")
+    p.add_argument("--best_metric", type=str, default="image_psnr",
+                   choices=["image_psnr", "separated_psnr"],
+                   help="checkpoint-best selection metric: image_psnr = "
+                        "selection-view PSNR; separated_psnr = same, but "
+                        "checkpoints whose selection-view dyn_corr >= "
+                        "--sep_corr_threshold always dominate ones below it")
+    p.add_argument("--sep_corr_threshold", type=float, default=0.5,
+                   help="dyn_corr gate for --best_metric separated_psnr")
     p.add_argument("--log_dir_root", type=str, default="cases")
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--seed", type=int, default=0)

@@ -482,11 +482,27 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
     )
 
     def save_fn(state, step):
+        metric = last_eval.get("test_image_psnr")
+        if (
+            metric is not None
+            and getattr(args, "best_metric", "image_psnr") == "separated_psnr"
+        ):
+            # Separation-aware model selection (superset of the reference,
+            # which has no in-loop selection at all): a checkpoint whose
+            # selection-view dynamic render correlates with the artery GT
+            # above the threshold always outranks one below it; within a
+            # tier, image PSNR decides. Encoded as a single scalar by
+            # docking non-separated checkpoints 1000 (PSNRs live in
+            # [0, ~50], so tiers never interleave).
+            corr = last_eval.get("test_dyn_corr")
+            thr = float(getattr(args, "sep_corr_threshold", 0.5))
+            if corr is not None and corr < thr:
+                metric = metric - 1000.0
         ckpt_mgr.save(
             state,
             cfgs,
             run_metadata={"data_name": args.data_name, "step": int(state.step)},
-            metric=last_eval.get("test_image_psnr"),
+            metric=metric,
         )
 
     state = _chunked_train_loop(

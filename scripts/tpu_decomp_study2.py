@@ -1,0 +1,208 @@
+"""Dense-checkpoint early-phase decomposition study (round 3, stage 2).
+
+Stage 1 (``tpu_decomp_study.py``) showed every weight configuration fails
+to separate at the checkpoints it saved (step >= 5000), while the IN-LOOP
+selection-view trajectory peaks at dyn_corr ~0.5 around step 1000 with
+image PSNR ~13 dB — before the long-run collapse. Two open questions:
+
+  1. Is the early transient a REAL decomposition over all 40 held-out
+     views, or a selection-view artifact? (control arm, dense checkpoints,
+     40-view eval on EVERY checkpoint)
+  2. Does engineering the operating point hold the separation? The
+     trajectory-level A/B (artifacts/ab_round3) proved the ACTUAL reference
+     trainer fails identically on this data, which licenses data-side
+     engineering: clinically, contrast-filled coronaries are the brightest
+     structure in an angiogram by a wide margin, so the high-contrast arms
+     raise vessel attenuation / radius / motion amplitude (SYNTH-HC).
+
+Every arm saves checkpoints every 500 steps and runs the full 40-view eval
+on each; ``--best_metric separated_psnr`` exercises the separation-aware
+checkpoint selection. Datasets are pre-built in CPU subprocesses (the
+projector jit would otherwise pay a remote TPU compile per new dataset).
+
+Usage: python scripts/tpu_decomp_study2.py [n_iters=3000] [--arms a,b,...]
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nerfca_tpu.train.config import parse_args
+from nerfca_tpu.train.trainer import train_composite
+from nerfca_tpu.train import run_eval
+
+HC_DATA = {
+    "data_name": "SYNTH-HC",
+    "synth_lca_val": "2.4",
+    "synth_vessel_radius": "0.065",
+    "synth_motion_scale": "1.5",
+}
+
+ARMS = {
+    # shipped weights on the original phantom: adjudicates the early
+    # transient over all 40 views
+    "control_dense": {},
+    # high-contrast phantom, shipped weights
+    "hc": dict(HC_DATA),
+    # high-contrast + active variance weighting (pixel-loss weights in
+    # [1, 5] instead of [1, 2])
+    "hc_w4": dict(HC_DATA, weighted_loss_max="4"),
+    # high-contrast + EARLY separation pressure, decaying (stage-1 ramps
+    # peaked late and destroyed the image; the separation window is early)
+    "hc_early": dict(
+        HC_DATA,
+        dynamic_entro_weight_start="1e-5",
+        dynamic_entro_weight_end="1e-7",
+        favor_s_weight_start="1e-6",
+        favor_s_weight_end="1e-8",
+        favor_s_weight_delay_steps="0",
+    ),
+}
+
+DATA_KEYS = (
+    "data_name", "synth_lca_val", "synth_vessel_radius", "synth_motion_scale",
+)
+
+
+def base_args(n: int, overrides: dict):
+    argv = [
+        "--config", "configs/composite.txt",
+        "--data_name", "SYNTH",
+        "--data_size", "200",
+        "--synth_vol_size", "96",
+        "--n_iters", str(n),
+        "--display_every", "250",
+        "--save_every", "500",
+        "--log_every", "250",
+        "--steps_per_chunk", "250",
+        "--keep_last_n_checkpoints", "50",
+        "--best_metric", "separated_psnr",
+        "--lr_decay_steps", str(int(n * 0.75)),
+        "--static_pos_enc_window_decay_steps", str(int(n * 0.75)),
+        "--temp_pos_enc_window_decay_steps", str(int(n * 0.75)),
+        "--hyperparam_decay_steps", str(int(n * 0.5)),
+        "--favor_s_weight_delay_steps", str(int(n * 0.2)),
+        "--entro_clip_threshold", "1e-6",
+        "--use_pallas", "true",
+        "--use_fused_loss", "true",
+        "--use_wandb", "false",
+        "--data_root", "data",
+        "--log_dir_root", "cases",
+    ]
+    for k, v in overrides.items():
+        argv += [f"--{k}", v]
+    return parse_args(argv)
+
+
+def prepare_dataset_cpu(n: int, overrides: dict) -> None:
+    """Build the arm's dataset in a CPU subprocess (fast projector jit).
+
+    Skips the build when the artifact contract is already on disk — the
+    phantom is deterministic, so same data args => identical artifacts."""
+    from nerfca_tpu.data.dataset import dataset_paths
+
+    args = base_args(n, overrides)
+    paths = dataset_paths(args, root="data")
+    if all(
+        os.path.isfile(p)
+        for p in (paths.train, paths.test, paths.evaluate, paths.general)
+    ):
+        print(f"dataset ready: {paths.folder}", flush=True)
+        return
+    argv = [
+        sys.executable, "-m", "nerfca_tpu.train.run_composite",
+        "--config", "configs/composite.txt",
+        "--data_name", "SYNTH", "--data_size", "200",
+        "--synth_vol_size", "96", "--data_root", "data",
+        "--use_wandb", "false",
+        "--only_prepare_data", "true", "--platform", "cpu",
+    ]
+    for k, v in overrides.items():
+        if k in DATA_KEYS:
+            argv += [f"--{k}", v]
+    subprocess.run(argv, check=True)
+
+
+def eval_ckpt(args_n, overrides, ckpt: str) -> dict:
+    eargs = base_args(args_n, overrides)
+    eargs.resume_from = ckpt
+    try:
+        scores = run_eval.evaluate_checkpoint(eargs)
+    except Exception as e:  # keep the study going
+        print(f"eval of {ckpt} failed: {e}")
+        return {}
+    return {
+        "ckpt": os.path.basename(ckpt),
+        "step": scores.get("step"),
+        "mean_psnr": scores.get("mean_psnr"),
+        "mean_ssim": scores.get("mean_ssim"),
+        "mean_dyn_psnr": scores.get("mean_dyn_psnr"),
+        "mean_dyn_corr": scores.get("mean_dyn_corr"),
+    }
+
+
+def main():
+    n = 3000
+    names = list(ARMS)
+    argv = sys.argv[1:]
+    if argv and argv[0].isdigit():
+        n = int(argv[0])
+        argv = argv[1:]
+    if argv and argv[0] == "--arms":
+        names = argv[1].split(",")
+
+    results = []
+    for name in names:
+        overrides = ARMS[name]
+        print(f"\n=== arm {name}: {overrides} ===", flush=True)
+        prepare_dataset_cpu(n, overrides)
+        args = base_args(n, overrides)
+        t0 = time.time()
+        out = train_composite(args)
+        wall = time.time() - t0
+        log_dir = out["log_dir"]
+        records = [
+            json.loads(l)
+            for l in open(os.path.join(log_dir, "metrics.jsonl"))
+        ]
+        traj = [
+            (r.get("step"), round(r["test_dyn_corr"], 3),
+             round(r.get("test_image_psnr", float("nan")), 2))
+            for r in records if "test_dyn_corr" in r
+        ]
+        ckpts = sorted(
+            glob.glob(os.path.join(log_dir, "checkpoint-[0-9]*")),
+            key=lambda p: int(p.rsplit("-", 1)[1]),
+        )
+        ckpts.append(os.path.join(log_dir, "checkpoint-best"))
+        evals = [eval_ckpt(n, overrides, c) for c in ckpts]
+        row = {
+            "name": name,
+            "overrides": overrides,
+            "log_dir": log_dir,
+            "wall_sec": round(wall, 1),
+            "trajectory(step,dyn_corr,img_psnr)": traj,
+            "evals": [e for e in evals if e],
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        with open("cases/SYNTH/decomp_study2.json", "w") as f:
+            json.dump(results, f, indent=2)
+
+    print("\n=== summary (40-view means per checkpoint) ===")
+    for r in results:
+        for ev in r["evals"]:
+            print(
+                f"{r['name']:16s} {ev['ckpt']:18s} "
+                f"psnr={ev['mean_psnr']:.2f} "
+                f"dyn_corr={ev.get('mean_dyn_corr', float('nan')):.3f} "
+                f"dyn_psnr={ev.get('mean_dyn_psnr', float('nan')):.2f}"
+            )
+
+
+if __name__ == "__main__":
+    main()
