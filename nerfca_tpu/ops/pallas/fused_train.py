@@ -223,9 +223,12 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     # precision would truncate the latent VALUES to bf16.
     n_phases = lat_tab_ref.shape[1]
     tile_t = geom.shape[1]
+    # NB: Mosaic only lowers INTEGER iota; build i32 and sitofp (an f32
+    # iota trips 'tpu.iota must be vector of integer values' on hardware
+    # even though interpret mode accepts it)
     phase_iota = jax.lax.broadcasted_iota(
-        jnp.float32, (n_phases, tile_t), 0
-    )
+        jnp.int32, (n_phases, tile_t), 0
+    ).astype(jnp.float32)
     onehot = (phase_iota == phase_row).astype(jnp.float32)  # [P, T]
     lat = jax.lax.dot_general(
         lat_tab_ref[:], onehot, (((1,), (0,)), ((), ())),
