@@ -61,6 +61,41 @@ ARMS = {
         favor_s_weight_end="1e-8",
         favor_s_weight_delay_steps="0",
     ),
+    # --- batch 2 (n=6000): stage-2 results showed (a) the compressed
+    # schedule with occlusion at full strength steadily IMPROVES 40-view
+    # dyn metrics (control: corr 0.23->0.24, dyn_psnr 1.8->2.7 and still
+    # rising at cutoff), (b) high contrast helps only the near-training
+    # views — the missing prior for cross-view transfer is DEPTH
+    # COMPACTNESS of the dynamic field = real dynamic entropy.
+    "entro6k": {
+        "dynamic_entro_weight_start": "1e-6",
+        "dynamic_entro_weight_end": "1e-5",
+        "save_every": "1000",
+    },
+    "entro_occl6k": {
+        "dynamic_entro_weight_start": "1e-6",
+        "dynamic_entro_weight_end": "1e-5",
+        "occl_weight_end": "1e-3",
+        "save_every": "1000",
+    },
+    "hc_entro6k": dict(
+        HC_DATA,
+        dynamic_entro_weight_start="1e-6",
+        dynamic_entro_weight_end="1e-5",
+        save_every="1000",
+    ),
+    "w4_entro6k": {
+        "weighted_loss_max": "4",
+        "dynamic_entro_weight_start": "1e-6",
+        "dynamic_entro_weight_end": "1e-5",
+        "save_every": "1000",
+    },
+    "vs75_entro6k": {
+        "var_sample_perc": "75",
+        "dynamic_entro_weight_start": "1e-6",
+        "dynamic_entro_weight_end": "1e-5",
+        "save_every": "1000",
+    },
 }
 
 DATA_KEYS = (
@@ -190,7 +225,7 @@ def main():
         }
         results.append(row)
         print(json.dumps(row), flush=True)
-        with open("cases/SYNTH/decomp_study2.json", "w") as f:
+        with open(f"cases/SYNTH/decomp_study2-{n}.json", "w") as f:
             json.dump(results, f, indent=2)
 
     print("\n=== summary (40-view means per checkpoint) ===")
