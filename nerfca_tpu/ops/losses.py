@@ -73,15 +73,27 @@ def ray_entropy_loss(
     return jnp.mean(entropy), jnp.mean(sigma_sum)
 
 
-def occlusion_loss(sigma, dists, reg_perc: float = 0.1, use_back: bool = False):
+def occlusion_loss(sigma, dists, reg_perc: float = 0.1, use_back: bool = False,
+                   front_only: bool = False):
     """Suppress density along masked ray portions (``model_helpers.py:226-248``).
 
     ``dists`` is the shared 1-D ``[S]`` delta vector. See module docstring
-    for the ``use_back=False`` full-ray quirk, preserved here.
+    for the ``use_back=False`` full-ray quirk, preserved here as the
+    default: the reference initializes ``mask_back`` to ones and only
+    overwrites it when ``use_back`` is set (``model_helpers.py:240-243``),
+    so its front-OR-back union degenerates to the FULL ray — an L1 on all
+    dynamic density, contradicting the function's own near-camera comment.
+    That term is what crushes the dynamic field's mid-ray vessel mass (the
+    round-3 trajectory A/B shows the reference trainer failing to separate
+    for the same reason). ``front_only=True`` implements the documented
+    intent instead: penalize only the near-camera ``reg_perc`` of each ray
+    (floater suppression) and leave mid-ray dynamic mass untaxed.
     """
     cum_dists = jnp.cumsum(dists)
     total = cum_dists[-1]
-    if use_back:
+    if front_only:
+        mask = cum_dists < reg_perc * total
+    elif use_back:
         mask_front = cum_dists < reg_perc * total
         mask_back = cum_dists > (1 - reg_perc) * total
         mask = jnp.logical_or(mask_front, mask_back)
@@ -125,6 +137,7 @@ def composite_losses(
     entro_weighted_thresh: float = 0.0,
     occl_reg_perc: float = 0.1,
     entro_clip_threshold: float = 1e-19,
+    occl_front_only: bool = False,
 ) -> CompositeLosses:
     """Bundle the composite regularizer battery (``model_helpers.py:250-262``).
 
@@ -150,7 +163,9 @@ def composite_losses(
         weighted_pixs=weighted_pixs,
         weighted_thresh=entro_weighted_thresh,
     )
-    d_occl = occlusion_loss(temp_sigma, dists, occl_reg_perc)
+    d_occl = occlusion_loss(
+        temp_sigma, dists, occl_reg_perc, front_only=occl_front_only
+    )
     static_l1 = jnp.sum(jnp.sum(static_sigma * dists, axis=-1))
     static_l2 = jnp.sum(jnp.sum((static_sigma * dists) ** 2, axis=-1))
     return CompositeLosses(

@@ -390,7 +390,18 @@ def fused_train_loss_and_grads(
     )
     dists_t = jnp.tile(dists_seg, rt)
     valid_t = jnp.tile((jnp.arange(s_pad) < s).astype(jnp.float32), rt)
-    occl_t = jnp.ones((tile,), jnp.float32)
+    # occlusion mask: full ray (the reference's use_back=False quirk) or
+    # the documented near-camera intent (hp.occl_front_only) — padded
+    # samples have dist 0, so the mask value there is irrelevant
+    if getattr(hp, "occl_front_only", False):
+        cum = jnp.cumsum(dists_seg[:s])
+        front = (cum < hp.occl_reg_perc * cum[-1]).astype(jnp.float32)
+        occl_seg = jnp.concatenate(
+            [front, jnp.zeros((s_pad - s,), jnp.float32)]
+        )
+        occl_t = jnp.tile(occl_seg, rt)
+    else:
+        occl_t = jnp.ones((tile,), jnp.float32)
     first_t = jnp.tile(
         (jnp.arange(s_pad) == 0).astype(jnp.float32), rt
     )

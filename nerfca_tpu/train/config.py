@@ -163,6 +163,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--entro_use_weighting", type=_bool, default=False)
     p.add_argument("--entro_weighted_thresh", type=float, default=0.0)
     p.add_argument("--occl_reg_perc", type=float, default=0.1)
+    p.add_argument("--occl_front_only", type=_bool, default=False,
+                   help="apply the occlusion loss to the near-camera "
+                        "occl_reg_perc of each ray only (the reference "
+                        "comment's intent); default keeps the reference "
+                        "code's use_back=False FULL-RAY quirk, which "
+                        "taxes all dynamic density (see ops/losses.py)")
 
     p.add_argument("--weighted_loss_max", type=float, default=1.0)
     p.add_argument("--weighted_loss", type=str, default="None")

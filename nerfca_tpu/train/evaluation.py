@@ -278,6 +278,7 @@ def test_metrics(
         entro_weighted_thresh=hp.entro_weighted_thresh,
         occl_reg_perc=hp.occl_reg_perc,
         entro_clip_threshold=hp.entro_clip_threshold,
+        occl_front_only=hp.occl_front_only,
     )
     test_loss = _regularized_loss(pixel_loss, losses, weights_sched)
 
@@ -300,6 +301,7 @@ def test_metrics(
             entro_weighted_thresh=hp.entro_weighted_thresh,
             occl_reg_perc=hp.occl_reg_perc,
             entro_clip_threshold=hp.entro_clip_threshold,
+            occl_front_only=hp.occl_front_only,
         )
         test_loss = test_loss + _regularized_loss(
             pixel_loss_fine, losses, weights_sched

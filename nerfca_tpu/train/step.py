@@ -86,6 +86,11 @@ class CompositeHParams:
     entro_weighted_thresh: float = 0.0
     entro_clip_threshold: float = 1e-19
     occl_reg_perc: float = 0.1
+    # reference parity keeps the use_back=False FULL-RAY occlusion quirk
+    # (losses.py::occlusion_loss docstring); front_only applies the
+    # documented near-camera intent instead — the full-ray L1 is what
+    # crushes mid-ray dynamic vessel mass at the 4-view operating point
+    occl_front_only: bool = False
     compute_dtype: str = "float32"
     use_pallas: bool = False
     pallas_tile: int = 1024
@@ -398,6 +403,7 @@ def composite_loss_fn(
         entro_weighted_thresh=hp.entro_weighted_thresh,
         occl_reg_perc=hp.occl_reg_perc,
         entro_clip_threshold=hp.entro_clip_threshold,
+        occl_front_only=hp.occl_front_only,
     )
     loss = _regularized_loss(pixel_loss_c, losses, weights)
 
@@ -440,6 +446,7 @@ def composite_loss_fn(
             entro_weighted_thresh=hp.entro_weighted_thresh,
             occl_reg_perc=hp.occl_reg_perc,
             entro_clip_threshold=hp.entro_clip_threshold,
+            occl_front_only=hp.occl_front_only,
         )
         loss = loss + _regularized_loss(pixel_loss_f, losses_f, weights)
         metrics["train_pixel_loss_fine"] = pixel_loss_f
@@ -636,6 +643,7 @@ class StaticHParams:
     output_activation: str = "softplus"
     occl_weight_start: float = 1e-4
     occl_reg_perc: float = 0.1
+    occl_front_only: bool = False
     compute_dtype: str = "float32"
     use_pallas: bool = False
 
@@ -664,7 +672,9 @@ def static_loss_fn(params, batch, depth_values, step, cfg: FieldConfig, hp: Stat
         raw, batch["initial_intensities"], depth_values, hp.output_activation
     )
     pixel_loss = jnp.mean(weighted_mse(pix, batch["pixels"], batch["weights"]))
-    occl = occlusion_loss(sigma, dists, hp.occl_reg_perc)
+    occl = occlusion_loss(
+        sigma, dists, hp.occl_reg_perc, front_only=hp.occl_front_only
+    )
     loss = pixel_loss + hp.occl_weight_start * occl
     metrics = {
         "train_loss": loss,

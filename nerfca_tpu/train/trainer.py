@@ -133,6 +133,7 @@ def composite_hparams_from_args(args) -> CompositeHParams:
         entro_weighted_thresh=args.entro_weighted_thresh,
         entro_clip_threshold=args.entro_clip_threshold,
         occl_reg_perc=args.occl_reg_perc,
+        occl_front_only=args.occl_front_only,
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         pallas_tile=args.pallas_tile,
@@ -532,6 +533,7 @@ def static_hparams_from_args(args) -> StaticHParams:
         output_activation=args.output_activation,
         occl_weight_start=args.occl_weight_start,
         occl_reg_perc=args.occl_reg_perc,
+        occl_front_only=args.occl_front_only,
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
     )

@@ -228,3 +228,49 @@ def test_fused_train_four_rays_per_tile():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-8
         )
+
+
+def test_fused_train_occl_front_only():
+    """The fused kernel's caller-side occlusion mask matches the unfused
+    path under --occl_front_only (near-camera intent; see
+    ops/losses.py::occlusion_loss)."""
+    import dataclasses
+
+    params, cfgs, hp, batch, z = _setup()
+    hp = dataclasses.replace(hp, occl_front_only=True)
+    step = jnp.asarray(57)
+
+    def ref_loss(p):
+        return composite_loss_fn(p, batch, z, step, cfgs, hp)
+
+    (ref_l, ref_m), ref_g = jax.value_and_grad(ref_loss, has_aux=True)(params)
+
+    w = loss_weights(step, hp)
+    lw = jnp.stack([w["favor_s"], w["dynamic_entro"], w["occl"], w["l1"]])
+    window = free_window_mask(4, 57, 100, 1)
+    loss, terms, g_s, g_t = fused_train_loss_and_grads(
+        params["static"], params["temp"],
+        batch["origins"], batch["directions"], z, batch["phases"],
+        batch["pixels"], batch["weights"], batch["initial_intensities"],
+        cfgs["static"], cfgs["temp"], window, window, lw, hp,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(terms["occl"]), float(ref_m["train_d_occl_loss"]), rtol=2e-5
+    )
+    # the masked occlusion term must differ from the full-ray quirk
+    hp_full = dataclasses.replace(hp, occl_front_only=False)
+    _, m_full = composite_loss_fn(params, batch, z, step, cfgs, hp_full)
+    assert float(ref_m["train_d_occl_loss"]) < float(m_full["train_d_occl_loss"])
+
+    fused_g = {"static": g_s, "temp": g_t}
+    flat_f = jax.tree_util.tree_flatten_with_path(fused_g)[0]
+    flat_r = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(ref_g)[0]
+    )
+    for path, a in flat_f:
+        b = flat_r[jax.tree_util.keystr(path)]
+        scale = max(float(jnp.abs(b).max()), 1e-10)
+        err = float(jnp.abs(a - b).max()) / scale
+        assert err < 5e-4, (jax.tree_util.keystr(path), err, scale)

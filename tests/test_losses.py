@@ -200,3 +200,17 @@ def test_ray_entropy_golden_vs_reference_indexing():
         weighted_thresh=0.25,
     )
     np.testing.assert_allclose(float(ours_e2), ref_e2, rtol=1e-5)
+
+
+def test_occlusion_front_only_intent():
+    """front_only=True implements the reference comment's near-camera
+    intent (model_helpers.py:227-229), which the shipped use_back=False
+    code path does NOT (mask_back stays all-ones, so front OR back covers
+    the full ray)."""
+    dists = jnp.ones(10)
+    sigma = jnp.ones((3, 10))
+    # cumsum = 1..10; front: cum < 2 -> index 0 only
+    loss = occlusion_loss(sigma, dists, reg_perc=0.2, front_only=True)
+    np.testing.assert_allclose(float(loss), 1.0, atol=1e-6)
+    full = occlusion_loss(sigma, dists, reg_perc=0.2, front_only=False)
+    assert float(loss) < float(full)
