@@ -96,6 +96,21 @@ ARMS = {
         "dynamic_entro_weight_end": "1e-5",
         "save_every": "1000",
     },
+    # --- batch 3: front-only occlusion (the mechanistic fix — the
+    # reference's use_back=False occlusion degenerates to a FULL-RAY L1
+    # that taxes the vessel's mid-ray dynamic mass; --occl_front_only
+    # applies the documented near-camera intent instead, see
+    # ops/losses.py::occlusion_loss)
+    "front": {"occl_front_only": "true"},
+    "hc_front": dict(HC_DATA, occl_front_only="true"),
+    "front_w4": {"occl_front_only": "true", "weighted_loss_max": "4"},
+    # gentle depth-compactness on top (1e-5 entropy collapses the image;
+    # 1e-7 is two orders below that)
+    "front_entro7": {
+        "occl_front_only": "true",
+        "dynamic_entro_weight_start": "1e-8",
+        "dynamic_entro_weight_end": "1e-7",
+    },
 }
 
 DATA_KEYS = (
