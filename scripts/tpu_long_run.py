@@ -1,6 +1,6 @@
 """Longer flagship run on TPU with paper-proportional schedules.
 
-Usage: python scripts/tpu_long_run.py [n_iters=50000] [resume_checkpoint]
+Usage: python scripts/tpu_long_run.py [n_iters=50000] [resume_checkpoint] [extra flags...]
 All annealing schedules scale with n_iters at the paper's proportions
 (window/lr decay = 75% of run, hyperparam decay = 50%, favor delay = 20%).
 Pass a checkpoint dir as the second arg to continue a wedged/killed run
@@ -20,7 +20,12 @@ from nerfca_tpu.train.trainer import train_composite
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
-    resume = sys.argv[2] if len(sys.argv) > 2 else None
+    resume = None
+    extra = []
+    rest = sys.argv[2:]
+    if rest and not rest[0].startswith("--"):
+        resume, rest = rest[0], rest[1:]
+    extra = list(rest)
     args = parse_args(([] if resume is None else ["--resume_from", resume]) + [
         "--config", "configs/composite.txt",
         "--data_name", "SYNTH",
@@ -40,7 +45,7 @@ def main():
         "--use_fused_loss", "true",
         "--data_root", "data",
         "--log_dir_root", "cases",
-    ])
+    ] + extra)  # extras last so callers can override any default above
     t0 = time.time()
     out = train_composite(args)
     wall = time.time() - t0
