@@ -96,17 +96,21 @@ def _geometry_for(args, vol_dimensions) -> dict:
     raise ValueError(f"unknown data_name family: {name!r}")
 
 
-def _phantom_kwargs(args) -> dict:
+def _phantom_kwargs(args, vessel: bool = False) -> dict:
     """Synthetic-phantom shape knobs shared by the composite and the
     vessel-only GT providers. Engineering the operating point (vessel
-    contrast / size / motion amplitude) is a SYNTH-family superset; use a
-    distinct ``data_name`` (e.g. ``SYNTH-HC``) so variants get their own
-    dataset folder."""
-    return {
+    contrast / size / motion amplitude, background rib softness and
+    smoothing) is a SYNTH-family superset; use a distinct ``data_name``
+    (e.g. ``SYNTH-HC``) so variants get their own dataset folder."""
+    kw = {
         "lca_val": float(getattr(args, "synth_lca_val", 1.2)),
         "vessel_radius": float(getattr(args, "synth_vessel_radius", 0.045)),
         "motion_scale": float(getattr(args, "synth_motion_scale", 1.0)),
+        "smooth_sigma": float(getattr(args, "synth_smooth_sigma", 1.0)),
     }
+    if not vessel:  # background-only knobs
+        kw["rib_scale"] = float(getattr(args, "synth_rib_scale", 1.0))
+    return kw
 
 
 def _default_volume_provider(args) -> Callable[[int], np.ndarray]:
@@ -149,7 +153,8 @@ def _default_dynamic_provider(args) -> Callable[[int], Optional[np.ndarray]]:
         if str(args.data_name).startswith("SYNTH"):
             size = int(getattr(args, "synth_vol_size", 64))
             return synthetic_vessel_volume(
-                size=size, phase=int_phase / 10, **_phantom_kwargs(args)
+                size=size, phase=int_phase / 10,
+                **_phantom_kwargs(args, vessel=True),
             )
         return None
 

@@ -85,6 +85,7 @@ def synthetic_phantom_volume(
     seed: int = 0,
     smooth_sigma: float = 1.0,
     motion_scale: float = 1.0,
+    rib_scale: float = 1.0,
 ) -> np.ndarray:
     """One ``[size, size, size]`` float32 attenuation volume at cardiac
     ``phase`` in [0, 1).
@@ -122,11 +123,12 @@ def synthetic_phantom_volume(
     z_extent = _soft_inside((z / 0.85) ** 2, edge=0.3)
     vol += bone_val * np.exp(-spine_r2 / (2 * 0.11**2)) * z_extent
 
-    # sternum: smaller anterior column
+    # sternum: smaller anterior column (scaled with the ribs: thin
+    # anterior bone is the other high-frequency background structure)
     sternum_r2 = x**2 + (y - 0.62) ** 2
-    vol += 0.6 * bone_val * np.exp(-sternum_r2 / (2 * 0.07**2)) * _soft_inside(
-        (z / 0.55) ** 2, edge=0.3
-    )
+    vol += rib_scale * 0.6 * bone_val * np.exp(
+        -sternum_r2 / (2 * 0.07**2)
+    ) * _soft_inside((z / 0.55) ** 2, edge=0.3)
 
     # ribs: symmetric Gaussian tube arcs hugging the body surface at four
     # heights, sloping slightly downward toward the front like real ribs
@@ -140,7 +142,10 @@ def synthetic_phantom_volume(
         rib = np.exp(-tube2 / (2 * 0.035**2))
         # leave a cartilage gap at the very front (|phi| near pi)
         rib *= _soft_inside((np.abs(phi_grid) / 2.55) ** 2, edge=0.2)
-        vol += 0.8 * bone_val * rib
+        # rib_scale < 1 softens the thin high-frequency rib arcs — they
+        # are the structure that caps extreme-sparse-view background
+        # reconstruction (cf. the round-1 random-blob lesson above)
+        vol += rib_scale * 0.8 * bone_val * rib
 
     # heart: smooth ellipsoid, slightly left-of-center, hosting the vessel
     heart = (

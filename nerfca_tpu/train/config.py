@@ -205,6 +205,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SYNTH phantom vessel radius in [-1,1] volume units")
     p.add_argument("--synth_motion_scale", type=float, default=1.0,
                    help="SYNTH phantom cardiac-motion amplitude multiplier")
+    p.add_argument("--synth_rib_scale", type=float, default=1.0,
+                   help="SYNTH phantom rib/sternum amplitude multiplier "
+                        "(<1 softens the thin high-frequency background "
+                        "bone that caps 4-view reconstruction)")
+    p.add_argument("--synth_smooth_sigma", type=float, default=1.0,
+                   help="SYNTH phantom Gaussian smoothing sigma (voxels)")
     p.add_argument("--best_metric", type=str, default="image_psnr",
                    choices=["image_psnr", "separated_psnr"],
                    help="checkpoint-best selection metric: image_psnr = "

@@ -111,10 +111,37 @@ ARMS = {
         "dynamic_entro_weight_start": "1e-8",
         "dynamic_entro_weight_end": "1e-7",
     },
+    # --- batch 4: softened-background phantom (SYNTH-EZ). The thin rib
+    # arcs are the high-frequency background structure that caps 4-view
+    # image quality (~14 dB); background misfit noise then drowns the
+    # dynamic signal everywhere. rib_scale 0.35 + heavier smoothing makes
+    # the background 4-view-representable so the variance-weighted pixel
+    # residual concentrates on the moving vessel.
+    "ez": {
+        "data_name": "SYNTH-EZ",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+    },
+    "ez_entro": {
+        "data_name": "SYNTH-EZ",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "dynamic_entro_weight_start": "1e-6",
+        "dynamic_entro_weight_end": "1e-5",
+    },
+    "ez_hc": {
+        "data_name": "SYNTH-EZHC",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "synth_lca_val": "2.4",
+        "synth_vessel_radius": "0.065",
+        "synth_motion_scale": "1.5",
+    },
 }
 
 DATA_KEYS = (
     "data_name", "synth_lca_val", "synth_vessel_radius", "synth_motion_scale",
+    "synth_rib_scale", "synth_smooth_sigma",
 )
 
 
