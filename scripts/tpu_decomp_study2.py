@@ -137,6 +137,30 @@ ARMS = {
         "synth_vessel_radius": "0.065",
         "synth_motion_scale": "1.5",
     },
+    # pure depth-compactness: entro_use_weighting=false drops the
+    # variance-mask OR, so the entropy acts ONLY on rays already carrying
+    # dynamic mass (ssum >= entro_mask_thre) — the empty-ray 1/clip(sum)
+    # gradient chaos (BENCH.md round-2 NaN forensics) never engages and
+    # the image should survive real entropy weights
+    "ez_entro_nw": {
+        "data_name": "SYNTH-EZ",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "dynamic_entro_weight_start": "1e-6",
+        "dynamic_entro_weight_end": "1e-5",
+        "entro_use_weighting": "false",
+    },
+    "ezhc_entro_nw": {
+        "data_name": "SYNTH-EZHC",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "synth_lca_val": "2.4",
+        "synth_vessel_radius": "0.065",
+        "synth_motion_scale": "1.5",
+        "dynamic_entro_weight_start": "1e-6",
+        "dynamic_entro_weight_end": "1e-5",
+        "entro_use_weighting": "false",
+    },
 }
 
 DATA_KEYS = (
