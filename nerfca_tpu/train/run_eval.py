@@ -38,7 +38,12 @@ from nerfca_tpu.train.trainer import (
 from nerfca_tpu.train.step import make_optimizer
 
 
-def evaluate_checkpoint(args) -> dict:
+def evaluate_checkpoint(args, write_images: bool = True) -> dict:
+    """Score a checkpoint over the full evaluate.json frame set.
+
+    ``write_images=False`` skips the per-frame PNG panels (160 matplotlib
+    writes per eval) — study scripts that eval every checkpoint are
+    host-bound on those writes, not on the renders."""
     if not args.resume_from:
         raise ValueError("--resume_from <checkpoint dir> is required")
 
@@ -132,22 +137,24 @@ def evaluate_checkpoint(args) -> dict:
                 (pred_dyn - dlo) / dscale, (gt_dyn - dlo) / dscale
             )
             row["dyn_corr"] = _pearson(pred_dyn, gt_dyn)
-            _save_png(
-                os.path.join(
-                    out_dir, f"{frame['image_id_str']}-dyn-gt.png"
-                ),
-                evaluation.normalize01(gt_dyn),
-            )
+            if write_images:
+                _save_png(
+                    os.path.join(
+                        out_dir, f"{frame['image_id_str']}-dyn-gt.png"
+                    ),
+                    evaluation.normalize01(gt_dyn),
+                )
         scores.append(row)
-        for name, img in (
-            ("pred", pred),
-            ("static", np.asarray(render["pix_static"]).reshape(w, h)),
-            ("dynamic", np.asarray(render["pix_temp"]).reshape(w, h)),
-        ):
-            _save_png(
-                os.path.join(out_dir, f"{frame['image_id_str']}-{name}.png"),
-                evaluation.normalize01(img),
-            )
+        if write_images:
+            for name, img in (
+                ("pred", pred),
+                ("static", np.asarray(render["pix_static"]).reshape(w, h)),
+                ("dynamic", np.asarray(render["pix_temp"]).reshape(w, h)),
+            ):
+                _save_png(
+                    os.path.join(out_dir, f"{frame['image_id_str']}-{name}.png"),
+                    evaluation.normalize01(img),
+                )
         extra = (
             f" dyn_psnr={row['dyn_psnr']:.3f} dyn_corr={row['dyn_corr']:.3f}"
             if "dyn_psnr" in row

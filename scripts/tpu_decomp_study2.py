@@ -228,11 +228,11 @@ def prepare_dataset_cpu(n: int, overrides: dict) -> None:
     subprocess.run(argv, check=True)
 
 
-def eval_ckpt(args_n, overrides, ckpt: str) -> dict:
+def eval_ckpt(args_n, overrides, ckpt: str, write_images: bool = False) -> dict:
     eargs = base_args(args_n, overrides)
     eargs.resume_from = ckpt
     try:
-        scores = run_eval.evaluate_checkpoint(eargs)
+        scores = run_eval.evaluate_checkpoint(eargs, write_images=write_images)
     except Exception as e:  # keep the study going
         print(f"eval of {ckpt} failed: {e}")
         return {}
@@ -280,7 +280,12 @@ def main():
             key=lambda p: int(p.rsplit("-", 1)[1]),
         )
         ckpts.append(os.path.join(log_dir, "checkpoint-best"))
-        evals = [eval_ckpt(n, overrides, c) for c in ckpts]
+        # panels only for checkpoint-best (the 160 PNG writes per eval
+        # dominate the study's eval wall time)
+        evals = [
+            eval_ckpt(n, overrides, c, write_images=c.endswith("-best"))
+            for c in ckpts
+        ]
         row = {
             "name": name,
             "overrides": overrides,
