@@ -84,7 +84,7 @@ def _act_sigma(raw, activation: str):
 
 
 def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
-               seg, lw, hp_tuple, n_rays_total, s_valid):
+               seg, lw, hp_tuple, n_rays_total, s_valid, hull_row):
     """Per-tile partial of the TOTAL training loss, plus metric partials.
 
     Everything lives in PER-SAMPLE row-vector layout [1, T] (Mosaic has no
@@ -119,7 +119,10 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
                                    precision=jax.lax.Precision.HIGHEST)
 
     sig_s = _act_sigma(raw_s, activation)
-    sig_d = _act_sigma(raw_t, activation)
+    # the motion-hull gate (ops/hull.py) rides in geometry row 7; it is
+    # all-ones when the hull is off, and x * 1.0 is bitwise-exact in f32,
+    # so the ungated path is unchanged
+    sig_d = _act_sigma(raw_t, activation) * hull_row
     sd_s = sig_s * dists
     sd_d = sig_d * dists
 
@@ -201,6 +204,7 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     wts = geom[4:5, :]
     i0 = geom[5:6, :]
     phase_row = geom[6:7, :]
+    hull_row = geom[7:8, :]  # motion-hull gate (ones when the hull is off)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -251,7 +255,7 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
             i0, dists_ref[:][None, :],
             occl_ref[:][None, :], valid_ref[:][None, :],
             first_ref[:][None, :], seg_ref[:], lw_ref[:][:, 0], hp_tuple,
-            n_rays_total, s_valid,
+            n_rays_total, s_valid, hull_row,
         )
 
     loss_partial, vjp, aux = jax.vjp(loss_fn, raw_s, raw_t, has_aux=True)
@@ -329,9 +333,16 @@ def fused_train_loss_and_grads(
     hp,
     rays_per_tile: int = 2,
     total_rays: int | None = None,
+    hull=None,
 ):
     """One-pass training loss + parameter gradients for the coarse
     composite objective.
+
+    ``hull``: optional ``ops.hull.MotionHull``; its gate values are
+    evaluated here (plain XLA gathers over the per-sample coordinates) and
+    ride in as geometry row 7 — previously zero padding, so the gated path
+    adds no HBM traffic and the ungated path is bitwise-unchanged (row of
+    ones; f32 multiply by 1.0 is exact).
 
     Returns ``(loss, term_dict, grads_s, grads_t)`` where ``term_dict``
     carries the individual (unweighted) loss terms for the metrics dict.
@@ -374,6 +385,12 @@ def fused_train_loss_and_grads(
         per_ray_row(initial_intensities),
         per_ray_row(ray_phases),  # integer phases are exact in f32
     ]
+    if hull is not None:
+        from nerfca_tpu.ops.hull import hull_gate
+
+        rows.append(hull_gate(hull, rows[0], rows[1], rows[2]))
+    else:
+        rows.append(jnp.ones((n,), rows[0].dtype))
     rows += [jnp.zeros((n,), rows[0].dtype)] * (GEOM_ROWS - len(rows))
     geom = jnp.stack(rows, axis=0)
     geom = jax.lax.stop_gradient(geom)
@@ -578,6 +595,7 @@ def fused_train_loss_and_grads_sharded(
     loss_weights_vec,
     hp,
     rays_per_tile: int = 2,
+    hull=None,
 ):
     """Data-parallel composition of the monolithic train-gradient kernel.
 
@@ -603,12 +621,13 @@ def fused_train_loss_and_grads_sharded(
 
     def local_fn(params_s, params_t, origins, directions, z, ray_phases,
                  pixels, weights, initial_intensities, window_s, window_t,
-                 lw):
+                 lw, *hull_args):
         loss, terms, g_s, g_t = fused_train_loss_and_grads(
             params_s, params_t, origins, directions, z, ray_phases,
             pixels, weights, initial_intensities,
             cfg_s, cfg_t, window_s, window_t, lw, hp,
             rays_per_tile=rays_per_tile, total_rays=r_global,
+            hull=hull_args[0] if hull_args else None,
         )
         loss = jax.lax.psum(loss, axis_name)
         terms = {
@@ -622,11 +641,16 @@ def fused_train_loss_and_grads_sharded(
 
     batch_spec = P(axis_name)
     rep = P()
+    # the hull grid (when present) is replicated — every shard gates its
+    # own rays against the same carved volume
+    extra_args = () if hull is None else (hull,)
+    extra_specs = () if hull is None else (rep,)
     return shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(rep, rep, batch_spec, batch_spec, rep, batch_spec,
-                  batch_spec, batch_spec, batch_spec, rep, rep, rep),
+                  batch_spec, batch_spec, batch_spec, rep, rep, rep)
+        + extra_specs,
         out_specs=(rep, rep, rep, rep),
         # pallas_call's out_shape carries no varying-mesh-axes metadata, so
         # the vma checker cannot type it; the manual psum/pmax reductions
@@ -635,5 +659,5 @@ def fused_train_loss_and_grads_sharded(
     )(
         params_s, params_t, origins, directions, z, ray_phases,
         pixels, weights, initial_intensities, window_s, window_t,
-        loss_weights_vec,
+        loss_weights_vec, *extra_args,
     )

@@ -56,15 +56,20 @@ def render_transmission(
     depth_values,
     activation: str = "softplus",
     scale_value: float = 1e-2,
+    gate=None,
 ):
     """Single-field renderer (``model_helpers.py:86-97``).
 
     ``raw_field``: ``[R, S, C]`` raw MLP outputs (density in the last
     channel). ``initial_intensities``: ``[R]`` log-space source intensity.
+    ``gate``: optional ``[R, S]`` multiplier on the activated density (the
+    motion-hull prior, ``ops/hull.py``; framework extension, default off).
     Returns ``(int_map [R], sigma [R, S] UNSCALED, dists)``.
     """
     dists = depth_deltas(depth_values)
     sigma = output_activation(raw_field[..., -1], activation)
+    if gate is not None:
+        sigma = sigma * gate
     int_map = initial_intensities - jnp.sum(sigma * dists * scale_value, axis=-1)
     return int_map, sigma, dists
 
@@ -76,9 +81,14 @@ def render_transmission_composite(
     depth_values,
     activation: str = "softplus",
     scale_value: float = 1e-2,
+    temp_gate=None,
 ):
     """Two-field renderer (``model_helpers.py:72-84``).
 
+    ``temp_gate``: optional ``[R, S]`` multiplier on the activated dynamic
+    density (the motion-hull prior, ``ops/hull.py``); the regularizers then
+    see the GATED dynamic sigma, which is the point — dynamic mass outside
+    the hull contributes nothing anywhere.
     Returns ``(int_map [R], static_sigma [R, S], temp_sigma [R, S], dists)``
     with both sigmas PRE-SCALED by ``scale_value``, as the regularizers
     expect.
@@ -86,6 +96,8 @@ def render_transmission_composite(
     dists = depth_deltas(depth_values)
     static_sigma = output_activation(static_raw[..., -1], activation) * scale_value
     temp_sigma = output_activation(temp_raw[..., -1], activation) * scale_value
+    if temp_gate is not None:
+        temp_sigma = temp_sigma * temp_gate
     weights = (static_sigma + temp_sigma) * dists
     int_map = initial_intensities - jnp.sum(weights, axis=-1)
     return int_map, static_sigma, temp_sigma, dists

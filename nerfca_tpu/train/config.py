@@ -211,6 +211,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "bone that caps 4-view reconstruction)")
     p.add_argument("--synth_smooth_sigma", type=float, default=1.0,
                    help="SYNTH phantom Gaussian smoothing sigma (voxels)")
+    p.add_argument("--use_motion_hull", type=_bool, default=False,
+                   help="gate the dynamic field's density with a 3-D "
+                        "occupancy grid space-carved from the training "
+                        "views' temporal-variance maps (ops/hull.py): "
+                        "dynamic mass can only live where every training "
+                        "view sees motion")
+    p.add_argument("--hull_res", type=int, default=96,
+                   help="motion-hull grid resolution per axis")
+    p.add_argument("--hull_thresh", type=float, default=0.05,
+                   help="normalized-variance threshold for hull carving")
+    p.add_argument("--hull_dilate", type=int, default=2,
+                   help="binary-dilation iterations on the carved hull")
+    p.add_argument("--hull_sigma", type=float, default=1.0,
+                   help="Gaussian smoothing sigma (hull voxels) on the gate")
     p.add_argument("--best_metric", type=str, default="image_psnr",
                    choices=["image_psnr", "separated_psnr"],
                    help="checkpoint-best selection metric: image_psnr = "

@@ -102,9 +102,13 @@ def render_test_view(
     initial_intensity: float,
     tile: int = 4096,
     depth_values_fine=None,
+    hull=None,
 ):
     """Render one full test view; returns raw per-sample field outputs and
     the composite + decomposed intensity maps, flattened over pixels.
+
+    ``hull``: optional ``ops.hull.MotionHull`` — gates the dynamic density
+    exactly as in training (train/eval must agree on the model).
 
     When the hierarchy is on (``depth_values_fine`` given and fine params
     present), also renders the FINE models on the fixed stratified fine
@@ -143,12 +147,21 @@ def render_test_view(
     s_raw, t_raw = s_raw[:n], t_raw[:n]
     i0 = jnp.full((n,), initial_intensity, jnp.float32)
 
+    temp_gate = None
+    if hull is not None:
+        from nerfca_tpu.ops.hull import hull_gate_rays
+
+        temp_gate = hull_gate_rays(
+            hull, test_origins[:n], test_directions[:n], depth_values
+        )
     pix, s_sig, t_sig, dists = render_transmission_composite(
-        s_raw[..., None], t_raw[..., None], i0, depth_values, hp.output_activation
+        s_raw[..., None], t_raw[..., None], i0, depth_values,
+        hp.output_activation, temp_gate=temp_gate,
     )
     # decomposed renders via the single-field renderer (run_composite.py:407-413)
     pix_temp, _, _ = render_transmission(
-        t_raw[..., None], i0, depth_values, hp.output_activation
+        t_raw[..., None], i0, depth_values, hp.output_activation,
+        gate=temp_gate,
     )
     pix_static, _, _ = render_transmission(
         s_raw[..., None], i0, depth_values, hp.output_activation
@@ -183,12 +196,20 @@ def render_test_view(
             min(tile, test_origins.shape[0]),
         )
         s_raw_f, t_raw_f = s_raw_f[:n], t_raw_f[:n]
+        temp_gate_f = None
+        if hull is not None:
+            from nerfca_tpu.ops.hull import hull_gate_rays
+
+            temp_gate_f = hull_gate_rays(
+                hull, test_origins[:n], test_directions[:n], depth_values_fine
+            )
         pix_f, s_sig_f, t_sig_f, dists_f = render_transmission_composite(
             s_raw_f[..., None],
             t_raw_f[..., None],
             i0,
             depth_values_fine,
             hp.output_activation,
+            temp_gate=temp_gate_f,
         )
         out.update(
             pix_fine=pix_f,

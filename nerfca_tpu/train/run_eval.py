@@ -78,6 +78,22 @@ def evaluate_checkpoint(args, write_images: bool = True) -> dict:
             args.depth_samples_per_ray_fine,
         )
 
+    # eval must gate the dynamic field exactly as training did
+    hull = None
+    if getattr(args, "use_motion_hull", False):
+        from nerfca_tpu.ops.hull import build_motion_hull
+
+        with open(paths.train) as f:
+            train_frames = json.load(f)["frames"]
+        hull = build_motion_hull(
+            train_frames,
+            info,
+            res=getattr(args, "hull_res", 96),
+            thresh=getattr(args, "hull_thresh", 0.05),
+            dilate=getattr(args, "hull_dilate", 2),
+            sigma=getattr(args, "hull_sigma", 1.0),
+        )
+
     out_dir = os.path.join(args.resume_from, "eval")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -98,6 +114,7 @@ def evaluate_checkpoint(args, write_images: bool = True) -> dict:
             hp,
             info["max_pixel_value"],
             depth_values_fine=depth_values_fine,
+            hull=hull,
         )
         pred = np.asarray(render["pix"]).reshape(w, h)
         psnr = evaluation.image_psnr(pred, gt)

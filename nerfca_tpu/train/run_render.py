@@ -66,6 +66,21 @@ def render_views(args, views: list[tuple[float, float, int]]) -> list[dict]:
     depth_values = linspace_depths(
         info["near_thresh"], info["far_thresh"], args.depth_samples_per_ray_coarse
     )
+    hull = None
+    if getattr(args, "use_motion_hull", False):
+        from nerfca_tpu.ops.hull import build_motion_hull
+
+        with open(paths.train) as f:
+            train_frames = json.load(f)["frames"]
+        hull = build_motion_hull(
+            train_frames,
+            info,
+            res=getattr(args, "hull_res", 96),
+            thresh=getattr(args, "hull_thresh", 0.05),
+            dilate=getattr(args, "hull_dilate", 2),
+            sigma=getattr(args, "hull_sigma", 1.0),
+        )
+
     out_dir = os.path.join(args.resume_from, "renders")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -82,6 +97,7 @@ def render_views(args, views: list[tuple[float, float, int]]) -> list[dict]:
             cfgs,
             hp,
             info["max_pixel_value"],
+            hull=hull,
         )
         tag = f"view-{theta}-{phi}-phase{phase}"
         arrays = {

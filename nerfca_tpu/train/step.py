@@ -207,10 +207,13 @@ def composite_forward(
     cfgs: dict,
     hp: CompositeHParams,
     rng: Optional[jax.Array] = None,
+    hull=None,
 ):
     """Coarse (+optional fine) forward pass -> renders and sigmas.
 
     ``depth_values``: the already-jittered shared ``[S]`` vector.
+    ``hull``: optional ``ops.hull.MotionHull`` gating the dynamic density
+    (framework extension; None preserves reference behavior exactly).
     Mirrors ``model_helpers.py:115-160``.
     """
     origins, dirs = batch["origins"], batch["directions"]
@@ -236,8 +239,14 @@ def composite_forward(
         static_raw, temp_raw = evaluate_composite(
             params, pts, point_phases, cfgs, windows, hp
         )
+    temp_gate = None
+    if hull is not None:
+        from nerfca_tpu.ops.hull import hull_gate_rays
+
+        temp_gate = hull_gate_rays(hull, origins, dirs, depth_values)
     pix_c, s_sig_c, t_sig_c, dists_c = render_transmission_composite(
-        static_raw, temp_raw, i0, depth_values, hp.output_activation
+        static_raw, temp_raw, i0, depth_values, hp.output_activation,
+        temp_gate=temp_gate,
     )
     out = {
         "pix_coarse": pix_c,
@@ -279,10 +288,16 @@ def composite_forward(
             static_raw_f, temp_raw_f = evaluate_composite(
                 params, pts_f, phases_f, cfgs, windows, hp, suffix="_fine",
             )
+        temp_gate_f = None
+        if hull is not None:
+            from nerfca_tpu.ops.hull import hull_gate_rays
+
+            temp_gate_f = hull_gate_rays(hull, origins, dirs, z_fine)
         # reference renders the fine pass with ray 0's sorted depths
         # (model_helpers.py:147 depth_vals_fine[0, :])
         pix_f, s_sig_f, t_sig_f, dists_f = render_transmission_composite(
-            static_raw_f, temp_raw_f, i0, z_fine[0], hp.output_activation
+            static_raw_f, temp_raw_f, i0, z_fine[0], hp.output_activation,
+            temp_gate=temp_gate_f,
         )
         out.update(
             pix_fine=pix_f,
@@ -378,15 +393,18 @@ def composite_loss_fn(
     hp: CompositeHParams,
     rng: Optional[jax.Array] = None,
     sched=None,
+    hull=None,
 ):
     """Total regularized loss + metric dict for one batch. ``sched``: traced
     loss-weight schedule (see :func:`schedule_from_hp`); None bakes the hp
-    values in as constants."""
+    values in as constants. ``hull``: optional motion-hull gate."""
     windows = {
         "static": field_window(cfgs["static"], step),
         "temp": field_window(cfgs["temp"], step),
     }
-    fwd = composite_forward(params, batch, depth_values, windows, cfgs, hp, rng)
+    fwd = composite_forward(
+        params, batch, depth_values, windows, cfgs, hp, rng, hull=hull
+    )
     weights = loss_weights(step, hp, sched)
 
     pixel_loss_c = jnp.mean(
@@ -504,7 +522,7 @@ def make_composite_train_step(
         fused_fn = fused_train_loss_and_grads
 
     def train_step(state: TrainState, rays, phases, var_ids, non_var_ids,
-                   sched=None):
+                   sched=None, hull=None):
         rng, k_sample, k_depth, k_fine = jax.random.split(state.rng, 4)
 
         batch = sample_ray_batch(k_sample, rays, phases, var_ids, non_var_ids, hp)
@@ -522,14 +540,14 @@ def make_composite_train_step(
         if fused:
             loss, metrics, grads = _fused_loss_metrics_grads(
                 state.params, batch, z, state.step, cfgs, hp, sched,
-                fused_fn, rt,
+                fused_fn, rt, hull=hull,
             )
         else:
             def lf(p):
                 return composite_loss_fn(
                     p, batch, z, state.step, cfgs, hp,
                     rng=k_fine if s_fine > 0 else None,
-                    sched=sched,
+                    sched=sched, hull=hull,
                 )
 
             (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
@@ -552,7 +570,7 @@ def _fused_rays_per_tile(hp, n_depth_samples: int) -> int:
 
 
 def _fused_loss_metrics_grads(params, batch, z, step, cfgs, hp, sched,
-                              fused_fn, rt):
+                              fused_fn, rt, hull=None):
     """Run the monolithic train-gradient kernel and assemble the SAME
     metrics dict composite_loss_fn produces (names and semantics)."""
     windows = {
@@ -569,7 +587,7 @@ def _fused_loss_metrics_grads(params, batch, z, step, cfgs, hp, sched,
         batch["origins"], batch["directions"], z, batch["phases"],
         batch["pixels"], batch["weights"], batch["initial_intensities"],
         cfgs["static"], cfgs["temp"], windows["static"], windows["temp"],
-        lw, hp, rays_per_tile=rt,
+        lw, hp, rays_per_tile=rt, hull=hull,
     )
     metrics = {
         "train_pixel_loss_coarse": terms["pixel_loss"],
@@ -609,13 +627,16 @@ def make_train_chunk(train_step, n_steps: int):
     (~MBs), negligible next to the step itself."""
 
     def chunk(state, rays, phases, var_ids, non_var_ids, n_valid=None,
-              sched=None):
+              sched=None, hull=None):
         def body(st, i):
-            new_st, metrics = (
-                train_step(st, rays, phases, var_ids, non_var_ids, sched)
-                if sched is not None
-                else train_step(st, rays, phases, var_ids, non_var_ids)
-            )
+            if sched is not None:
+                new_st, metrics = train_step(
+                    st, rays, phases, var_ids, non_var_ids, sched, hull
+                )
+            else:
+                new_st, metrics = train_step(
+                    st, rays, phases, var_ids, non_var_ids
+                )
             if n_valid is not None:
                 keep = i < n_valid
                 new_st = jax.tree.map(

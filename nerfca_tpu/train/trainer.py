@@ -263,6 +263,30 @@ def prepare_composite(args, mesh=None):
         )
         _CHUNK_CACHE[cache_key] = (train_step, chunk_fn)
 
+    hull = None
+    if getattr(args, "use_motion_hull", False):
+        from nerfca_tpu.ops.hull import build_motion_hull
+
+        hull = build_motion_hull(
+            data.train_frames,
+            info,
+            res=getattr(args, "hull_res", 96),
+            thresh=getattr(args, "hull_thresh", 0.05),
+            dilate=getattr(args, "hull_dilate", 2),
+            sigma=getattr(args, "hull_sigma", 1.0),
+        )
+        if hull is None:
+            print(
+                "use_motion_hull: no variance maps on disk — training "
+                "ungated (partial cardiac cycles ship unit weights)"
+            )
+        else:
+            frac = float(np.mean(np.asarray(hull.grid) > 0.5))
+            print(
+                f"motion hull carved: res={hull.grid.shape[0]} "
+                f"occupied={frac:.4f}"
+            )
+
     device_data = {
         "rays": jnp.asarray(data.rays),
         "phases": jnp.asarray(data.phases),
@@ -287,6 +311,7 @@ def prepare_composite(args, mesh=None):
         "test_view": test_view,
         "chunk_size": _chunk_size(args),
         "paths": paths,
+        "hull": hull,
     }
 
 
@@ -384,6 +409,7 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
     chunk = setup["chunk_size"]
     hp, cfgs = setup["hp"], setup["cfgs"]
     test_view = setup["test_view"]
+    hull = setup["hull"]
 
     # the reference jitters the eval depths once before the loop
     # (run_composite.py:134-136) — the fine grid too when the hierarchy is on
@@ -436,6 +462,7 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
             hp,
             setup["max_pixel_value"],
             depth_values_fine=test_depths_fine,
+            hull=hull,
         )
         tm = evaluation.test_metrics(
             render, test_view["image"], step, hp, img_shape=test_view["shape"]
@@ -511,7 +538,8 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
         eval_fn=eval_fn if test_view is not None else None,
         save_fn=save_fn,
         early_stop_fn=early_stop_fn,
-        chunk_extra=(schedule_from_hp(hp),),
+        chunk_extra=(schedule_from_hp(hp),)
+        + ((hull,) if hull is not None else ()),
     )
 
     logger.close()

@@ -161,6 +161,38 @@ ARMS = {
         "dynamic_entro_weight_end": "1e-5",
         "entro_use_weighting": "false",
     },
+    # --- batch 5: motion-hull prior (ops/hull.py). Batch 4's verdict:
+    # softened background fixes DETECTION (±40° views corr 0.6-0.7) but
+    # not 3-D PLACEMENT (lateral views corr < 0) — the dynamic mass sits
+    # at the wrong depth. The hull space-carves allowed dynamic territory
+    # from the 4 training views' variance maps: dynamic density can only
+    # live where EVERY training view sees motion, which pins depth by
+    # construction.
+    "hull": {"use_motion_hull": "true"},
+    "ez_hull": {
+        "data_name": "SYNTH-EZ",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "use_motion_hull": "true",
+    },
+    "ezhc_hull": {
+        "data_name": "SYNTH-EZHC",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "synth_lca_val": "2.4",
+        "synth_vessel_radius": "0.065",
+        "synth_motion_scale": "1.5",
+        "use_motion_hull": "true",
+    },
+    # hull + front-only occlusion (batch 3 showed front-only is
+    # image-preserving; with placement pinned the full-ray tax is moot)
+    "ez_hull_front": {
+        "data_name": "SYNTH-EZ",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "use_motion_hull": "true",
+        "occl_front_only": "true",
+    },
 }
 
 DATA_KEYS = (

@@ -4,7 +4,10 @@ Chains measurements through donated state in ONE process (identical-input
 calls through the axon executor get deduplicated — see TODO.md), compiling
 progressively. Usage:
 
-    python scripts/tpu_kernel_sweep.py [tile ...]   # default: 1024 512 2048
+    python scripts/tpu_kernel_sweep.py [--fused] [tile ...]  # default: 1024 512 2048
+
+``--fused`` measures the monolithic train-gradient kernel path
+(use_fused_loss) instead of the two-kernel path.
 """
 import json
 import os
@@ -14,7 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5):
+def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5,
+            fused: bool = False):
     import dataclasses
 
     import jax
@@ -30,7 +34,8 @@ def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5):
     )
 
     params, cfgs, hp = _flagship_setup()
-    hp = dataclasses.replace(hp, use_pallas=True, pallas_tile=tile)
+    hp = dataclasses.replace(hp, use_pallas=True, pallas_tile=tile,
+                             use_fused_loss=fused)
     tx = make_optimizer(1e-3, 0.01, 150000)
     state = TrainState(
         params=params,
@@ -74,11 +79,14 @@ def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5):
 
 
 def main():
-    tiles = [int(t) for t in sys.argv[1:]] or [1024, 512, 2048]
+    argv = sys.argv[1:]
+    fused = '--fused' in argv
+    argv = [a for a in argv if a != '--fused']
+    tiles = [int(t) for t in argv] or [1024, 512, 2048]
     results = {}
     for t in tiles:
         try:
-            results[t] = measure(t)
+            results[t] = measure(t, fused=fused)
         except Exception as e:  # keep sweeping other tiles
             print(f"  tile {t} FAILED: {type(e).__name__}: {e}")
     print("SUMMARY", json.dumps({str(k): round(v, 3) for k, v in results.items()}))
