@@ -107,6 +107,7 @@ def _phantom_kwargs(args, vessel: bool = False) -> dict:
         "vessel_radius": float(getattr(args, "synth_vessel_radius", 0.045)),
         "motion_scale": float(getattr(args, "synth_motion_scale", 1.0)),
         "smooth_sigma": float(getattr(args, "synth_smooth_sigma", 1.0)),
+        "vessel_extent": float(getattr(args, "synth_vessel_extent", 1.0)),
     }
     if not vessel:  # background-only knobs
         kw["rib_scale"] = float(getattr(args, "synth_rib_scale", 1.0))

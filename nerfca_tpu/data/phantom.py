@@ -36,29 +36,40 @@ NUM_PHASES = 10
 
 
 def _vessel_centerline(
-    ts: np.ndarray, phase: float, motion_scale: float = 1.0
+    ts: np.ndarray, phase: float, motion_scale: float = 1.0,
+    vessel_extent: float = 1.0,
 ) -> np.ndarray:
     """Parametric coronary-like curve in [-1, 1]^3, deformed by phase.
 
     The beat displaces the curve laterally and radially with a smooth
     periodic profile (max displacement mid-cycle); ``motion_scale``
     multiplies the displacement amplitude (1.0 = the original anatomy).
+
+    ``vessel_extent`` scales the WHOLE curve (including its motion) toward
+    the isocenter. Why it exists (round-3 FOV forensics): the acquisition
+    geometry's detector cone only images a ~±0.28 radius (phantom units)
+    region around the isocenter — at extent 1.0 the curve spans ±0.9, so
+    most of the vessel is never observed by ANY view and the (60, -30)
+    grid view sees no vessel at all (its max artery line integral is
+    3e-4). Extents <= ~0.22 put the full moving vessel inside every
+    view's frustum, making 4-view decomposition geometrically
+    well-posed.
     """
     beat = np.sin(np.pi * phase) * motion_scale  # 0 at phase 0, max mid-cycle
     x = 0.55 * np.cos(2.2 * ts + 0.3) + 0.12 * beat * np.sin(3.0 * ts)
     y = 0.55 * np.sin(2.2 * ts) * 0.8 + 0.10 * beat
     z = 0.8 * ts - 0.1 * beat * np.cos(2.0 * ts)
-    return np.stack([x, y, z], axis=-1)
+    return vessel_extent * np.stack([x, y, z], axis=-1)
 
 
 def _vessel_mask(
     x: np.ndarray, y: np.ndarray, z: np.ndarray, phase: float, radius: float,
-    motion_scale: float = 1.0,
+    motion_scale: float = 1.0, vessel_extent: float = 1.0,
 ) -> np.ndarray:
     """Boolean mask of voxels within ``radius`` of the phase-deformed
     centerline (shared by the composite volume and the vessel-only GT)."""
     ts = np.linspace(-1.0, 1.0, 96, dtype=np.float32)
-    centers = _vessel_centerline(ts, phase, motion_scale)  # [96, 3]
+    centers = _vessel_centerline(ts, phase, motion_scale, vessel_extent)  # [96, 3]
     pts = np.stack([x, y, z], axis=-1)  # [S,S,S,3]
     # chunk over centerline to bound memory: track min distance
     min_d2 = np.full(x.shape, np.inf, dtype=np.float32)
@@ -86,6 +97,7 @@ def synthetic_phantom_volume(
     smooth_sigma: float = 1.0,
     motion_scale: float = 1.0,
     rib_scale: float = 1.0,
+    vessel_extent: float = 1.0,
 ) -> np.ndarray:
     """One ``[size, size, size]`` float32 attenuation volume at cardiac
     ``phase`` in [0, 1).
@@ -156,7 +168,8 @@ def synthetic_phantom_volume(
     vol += 0.7 * background_val * _soft_inside(heart, edge=0.35)
 
     # dynamic vessel: distance to polyline centerline below radius
-    vessel = _vessel_mask(x, y, z, phase, vessel_radius, motion_scale)
+    vessel = _vessel_mask(x, y, z, phase, vessel_radius, motion_scale,
+                          vessel_extent)
     vol = np.where(vessel, np.float32(lca_val), vol)
 
     if smooth_sigma > 0:
@@ -178,6 +191,7 @@ def synthetic_vessel_volume(
     vessel_radius: float = 0.045,
     smooth_sigma: float = 1.0,
     motion_scale: float = 1.0,
+    vessel_extent: float = 1.0,
 ) -> np.ndarray:
     """Vessel-ONLY attenuation volume at ``phase`` — the dynamic component's
     ground truth, analogous to the XCAT pipeline's artery volume
@@ -186,7 +200,8 @@ def synthetic_vessel_volume(
     the same smoothing."""
     lin = np.linspace(-1.0, 1.0, size, dtype=np.float32)
     x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
-    vessel = _vessel_mask(x, y, z, phase, vessel_radius, motion_scale)
+    vessel = _vessel_mask(x, y, z, phase, vessel_radius, motion_scale,
+                          vessel_extent)
     vol = np.where(vessel, np.float32(lca_val), np.float32(0.0)).astype(
         np.float32
     )

@@ -205,6 +205,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SYNTH phantom vessel radius in [-1,1] volume units")
     p.add_argument("--synth_motion_scale", type=float, default=1.0,
                    help="SYNTH phantom cardiac-motion amplitude multiplier")
+    p.add_argument("--synth_vessel_extent", type=float, default=1.0,
+                   help="SYNTH vessel centerline scale toward the "
+                        "isocenter; <= ~0.22 keeps the full moving vessel "
+                        "inside every view's frustum (at 1.0 the imaged "
+                        "FOV covers only the central fraction and one "
+                        "grid view sees no vessel — see data/phantom.py)")
     p.add_argument("--synth_rib_scale", type=float, default=1.0,
                    help="SYNTH phantom rib/sternum amplitude multiplier "
                         "(<1 softens the thin high-frequency background "

@@ -193,11 +193,53 @@ ARMS = {
         "use_motion_hull": "true",
         "occl_front_only": "true",
     },
+    # --- batch 6: in-frustum vessel (SYNTH-FOV). Round-3 FOV forensics
+    # (data/phantom.py::_vessel_centerline docstring): at extent 1.0 the
+    # detector cone images only the central fraction of the vessel and the
+    # (60,-30) training view sees NO vessel (max artery line integral
+    # 3e-4) — every prior batch was fighting a geometrically ill-posed
+    # benchmark. extent 0.22 puts the full moving vessel inside every
+    # view's frustum (validated: all 8 grid + eval views see it across
+    # 20-28% of pixels with visible motion).
+    "fov": {
+        "data_name": "SYNTH-FOV",
+        "synth_vessel_extent": "0.22",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+    },
+    "fov_hull": {
+        "data_name": "SYNTH-FOV",
+        "synth_vessel_extent": "0.22",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "use_motion_hull": "true",
+    },
+    "fov_hc_hull": {
+        "data_name": "SYNTH-FOVHC",
+        "synth_vessel_extent": "0.22",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "synth_lca_val": "2.4",
+        "synth_vessel_radius": "0.065",
+        "synth_motion_scale": "1.5",
+        "use_motion_hull": "true",
+    },
+    # original (hard) background + in-frustum vessel: attributes gains
+    # between background softening and vessel geometry
+    "fov_hard": {
+        "data_name": "SYNTH-FOVHARD",
+        "synth_vessel_extent": "0.22",
+    },
+    "fov_hard_hull": {
+        "data_name": "SYNTH-FOVHARD",
+        "synth_vessel_extent": "0.22",
+        "use_motion_hull": "true",
+    },
 }
 
 DATA_KEYS = (
     "data_name", "synth_lca_val", "synth_vessel_radius", "synth_motion_scale",
-    "synth_rib_scale", "synth_smooth_sigma",
+    "synth_rib_scale", "synth_smooth_sigma", "synth_vessel_extent",
 )
 
 

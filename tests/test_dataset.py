@@ -205,6 +205,45 @@ def test_vessel_only_volume_matches_composite_vessel():
     assert (dyn2 > 0).sum() > 0 and ((dyn2 > 0) != mask).any()
 
 
+def test_vessel_extent_keeps_vessel_in_every_frustum():
+    """--synth_vessel_extent 0.22 puts the whole moving vessel inside
+    every grid view's detector cone (round-3 FOV forensics: at extent 1.0
+    the (60, -30) view sees NO vessel — max artery line integral 3e-4)."""
+    import jax.numpy as jnp
+
+    from nerfca_tpu.data.phantom import synthetic_vessel_volume
+    from nerfca_tpu.geometry.cone import ConeGeometry, synth_geometry
+    from nerfca_tpu.geometry.cone import get_near_far
+    from nerfca_tpu.ops.projector import project_view
+
+    geo = ConeGeometry.from_dict(synth_geometry(50, [48, 48, 48]))
+    info = geo.to_info_dict()
+    near, far = get_near_far(geo)
+    info["near_thresh"], info["far_thresh"] = near, far
+
+    swept = np.maximum.reduce([
+        synthetic_vessel_volume(48, phase=ph / 10.0, vessel_extent=0.22)
+        for ph in range(0, 10, 3)
+    ])
+    views = [(-30.0, 30.0), (-30.0, -30.0), (60.0, -30.0), (60.0, 30.0),
+             (90.0, 0.0)]
+    for theta, phi in views:
+        img = np.asarray(
+            project_view(jnp.asarray(swept), info, theta, phi, n_samples=200)
+        )
+        assert img.max() > 0.02, (theta, phi, float(img.max()))
+    # the extent-1.0 pathology this knob fixes: (60, -30) sees nothing
+    swept_full = np.maximum.reduce([
+        synthetic_vessel_volume(48, phase=ph / 10.0, vessel_extent=1.0)
+        for ph in range(0, 10, 3)
+    ])
+    img = np.asarray(
+        project_view(jnp.asarray(swept_full), info, 60.0, -30.0,
+                     n_samples=200)
+    )
+    assert img.max() < 0.01, float(img.max())
+
+
 def test_dyn_ground_truth_written_for_test_views(built):
     """SYNTH test frames get artery-only line-integral artifacts."""
     args, paths = built
