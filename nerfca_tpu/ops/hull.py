@@ -103,8 +103,8 @@ def build_motion_hull(
     train_frames: list,
     info: dict,
     res: int = 96,
-    thresh: float = 0.05,
-    dilate: int = 2,
+    thresh: float = 0.02,
+    dilate: int = 3,
     sigma: float = 1.0,
 ) -> MotionHull | None:
     """Carve the motion hull from the training views' variance maps.

@@ -225,9 +225,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "view sees motion")
     p.add_argument("--hull_res", type=int, default=96,
                    help="motion-hull grid resolution per axis")
-    p.add_argument("--hull_thresh", type=float, default=0.05,
+    p.add_argument("--hull_thresh", type=float, default=0.02,
                    help="normalized-variance threshold for hull carving")
-    p.add_argument("--hull_dilate", type=int, default=2,
+    p.add_argument("--hull_dilate", type=int, default=3,
                    help="binary-dilation iterations on the carved hull")
     p.add_argument("--hull_sigma", type=float, default=1.0,
                    help="Gaussian smoothing sigma (hull voxels) on the gate")

@@ -271,8 +271,8 @@ def prepare_composite(args, mesh=None):
             data.train_frames,
             info,
             res=getattr(args, "hull_res", 96),
-            thresh=getattr(args, "hull_thresh", 0.05),
-            dilate=getattr(args, "hull_dilate", 2),
+            thresh=getattr(args, "hull_thresh", 0.02),
+            dilate=getattr(args, "hull_dilate", 3),
             sigma=getattr(args, "hull_sigma", 1.0),
         )
         if hull is None:
