@@ -629,14 +629,9 @@ def make_train_chunk(train_step, n_steps: int):
     def chunk(state, rays, phases, var_ids, non_var_ids, n_valid=None,
               sched=None, hull=None):
         def body(st, i):
-            if sched is not None:
-                new_st, metrics = train_step(
-                    st, rays, phases, var_ids, non_var_ids, sched, hull
-                )
-            else:
-                new_st, metrics = train_step(
-                    st, rays, phases, var_ids, non_var_ids
-                )
+            new_st, metrics = train_step(
+                st, rays, phases, var_ids, non_var_ids, sched, hull
+            )
             if n_valid is not None:
                 keep = i < n_valid
                 new_st = jax.tree.map(
@@ -719,7 +714,9 @@ def make_static_train_step(
         img_sample_size=hp.img_sample_size, nb_var_rays=hp.nb_var_rays
     )
 
-    def train_step(state: TrainState, rays, phases, var_ids, non_var_ids):
+    def train_step(state: TrainState, rays, phases, var_ids, non_var_ids,
+                   sched=None, hull=None):
+        del sched, hull  # static method has neither traced schedules nor a hull
         rng, k_sample, k_depth = jax.random.split(state.rng, 3)
         batch = sample_ray_batch(
             k_sample, rays, phases, var_ids, non_var_ids, comp_hp
