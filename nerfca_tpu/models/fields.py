@@ -58,6 +58,9 @@ class FieldConfig:
     pos_enc_basis: int = 12
     pos_enc_window_start: int = 0
     pos_enc_window_decay_steps: int = 150000
+    # saturate the annealing pointer at this band count (0 = no cap); the
+    # sparse-view anti-memorization control, see ops/encoding.py
+    pos_enc_window_max: float = 0.0
     fourier_sigma: float = 0.0
     # temporal-only
     use_time_latents: bool = False

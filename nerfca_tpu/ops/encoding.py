@@ -38,17 +38,33 @@ def encoded_feature_count(mode: str, basis: int, num_channels: int = 3) -> int:
     return num_channels + num_channels * 2 * basis
 
 
-def free_window_alpha(basis: int, step, decay_steps: int, window_start: int = 0):
+def free_window_alpha(
+    basis: int, step, decay_steps: int, window_start: int = 0,
+    window_max: float = 0.0,
+):
     """FreeNeRF moving pointer; also the value logged as ``windowed_alpha``.
 
     ``ptr = basis * step / decay_steps + window_start`` while annealing, then
     pinned to ``basis + 1`` (``model/CPPN.py:144-159``).
+
+    ``window_max > 0`` saturates the pointer at that band count forever — a
+    capability the reference lacks: in extreme-sparse-view regimes the field
+    memorizes the training views once too many frequency bands unlock
+    (4-view forensics: train PSNR 36->57 dB while held-out collapses
+    17->6.5 dB as the pointer passes ~4), so the cap holds the encoding at
+    the band count the view geometry can actually constrain.
     """
     ptr = basis * step / decay_steps + window_start
-    return jnp.where(step < decay_steps, ptr, float(basis + 1))
+    alpha = jnp.where(step < decay_steps, ptr, float(basis + 1))
+    if window_max > 0:
+        alpha = jnp.minimum(alpha, float(window_max))
+    return alpha
 
 
-def free_window_mask(basis: int, step, decay_steps: int, window_start: int = 0):
+def free_window_mask(
+    basis: int, step, decay_steps: int, window_start: int = 0,
+    window_max: float = 0.0,
+):
     """FreeNeRF per-band frequency mask, shape ``[basis]``.
 
     Bands below the pointer get (clipped) 1, the band at the pointer gets its
@@ -56,9 +72,15 @@ def free_window_mask(basis: int, step, decay_steps: int, window_start: int = 0):
     mask is exactly ones. ``clip(ptr - band, 0, 1)`` reproduces the
     integer/fractional assignment of ``model/CPPN.py:148-155`` in closed
     form, including the ``[1e-8, 1-1e-8]`` stability clip.
+
+    ``window_max > 0`` caps the pointer (see :func:`free_window_alpha`);
+    bands at or above the cap stay at the clipped zero weight forever.
     """
     bands = jnp.arange(basis, dtype=jnp.float32)
     ptr = basis * step / decay_steps + window_start
+    if window_max > 0:
+        ptr = jnp.minimum(ptr, float(window_max))
+        return jnp.clip(jnp.clip(ptr - bands, 0.0, 1.0), 1e-8, 1.0 - 1e-8)
     mask = jnp.clip(jnp.clip(ptr - bands, 0.0, 1.0), 1e-8, 1.0 - 1e-8)
     return jnp.where(step < decay_steps, mask, jnp.ones((basis,), jnp.float32))
 

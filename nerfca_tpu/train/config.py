@@ -125,6 +125,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temp_pos_enc_fourier_sigma", type=float, default=0.0)
     p.add_argument("--temp_pos_enc_window_start", type=int, default=0)
     p.add_argument("--temp_pos_enc_window_decay_steps", type=int, default=150000)
+    # cap the annealing pointer at this band count (0 = reference behavior,
+    # fully open after decay); anti-memorization control for sparse views
+    p.add_argument("--temp_pos_enc_window_max", type=float, default=0.0)
 
     # positional encoding (static field)
     p.add_argument("--static_pos_enc", type=str, default="free_windowed")
@@ -132,6 +135,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--static_pos_enc_fourier_sigma", type=float, default=0.0)
     p.add_argument("--static_pos_enc_window_start", type=int, default=0)
     p.add_argument("--static_pos_enc_window_decay_steps", type=int, default=150000)
+    p.add_argument("--static_pos_enc_window_max", type=float, default=0.0)
 
     # positional encoding windowing
     p.add_argument("--window_weight_start", type=int, default=0)

@@ -111,9 +111,12 @@ def field_window(cfg: FieldConfig, step):
             step,
             cfg.pos_enc_window_decay_steps,
             cfg.pos_enc_window_start,
+            cfg.pos_enc_window_max,
         )
     if cfg.pos_enc == "nerfies_windowed":
         alpha = nerfies_alpha(cfg.pos_enc_basis, step, cfg.pos_enc_window_decay_steps)
+        if cfg.pos_enc_window_max > 0:
+            alpha = jnp.minimum(alpha, cfg.pos_enc_window_max)
         return nerfies_window(cfg.pos_enc_basis, alpha)
     return None
 
@@ -126,9 +129,13 @@ def window_alpha(cfg: FieldConfig, step):
             step,
             cfg.pos_enc_window_decay_steps,
             cfg.pos_enc_window_start,
+            cfg.pos_enc_window_max,
         )
     if cfg.pos_enc == "nerfies_windowed":
-        return nerfies_alpha(cfg.pos_enc_basis, step, cfg.pos_enc_window_decay_steps)
+        alpha = nerfies_alpha(cfg.pos_enc_basis, step, cfg.pos_enc_window_decay_steps)
+        if cfg.pos_enc_window_max > 0:
+            alpha = jnp.minimum(alpha, cfg.pos_enc_window_max)
+        return alpha
     return jnp.zeros(())
 
 

@@ -80,6 +80,7 @@ def field_configs_from_args(args) -> dict[str, FieldConfig]:
         pos_enc_basis=args.static_pos_enc_basis,
         pos_enc_window_start=args.static_pos_enc_window_start,
         pos_enc_window_decay_steps=args.static_pos_enc_window_decay_steps,
+        pos_enc_window_max=args.static_pos_enc_window_max,
         fourier_sigma=args.static_pos_enc_fourier_sigma,
     )
     temp = FieldConfig(
@@ -92,6 +93,7 @@ def field_configs_from_args(args) -> dict[str, FieldConfig]:
         pos_enc_basis=args.temp_pos_enc_basis,
         pos_enc_window_start=args.temp_pos_enc_window_start,
         pos_enc_window_decay_steps=args.temp_pos_enc_window_decay_steps,
+        pos_enc_window_max=args.temp_pos_enc_window_max,
         fourier_sigma=args.temp_pos_enc_fourier_sigma,
         use_time_latents=args.use_time_latents,
         num_time_dim=args.num_time_dim,

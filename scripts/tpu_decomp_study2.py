@@ -42,6 +42,14 @@ HC_DATA = {
     "synth_motion_scale": "1.5",
 }
 
+FOV_HULL = {
+    "data_name": "SYNTH-FOV",
+    "synth_vessel_extent": "0.22",
+    "synth_rib_scale": "0.35",
+    "synth_smooth_sigma": "1.5",
+    "use_motion_hull": "true",
+}
+
 ARMS = {
     # shipped weights on the original phantom: adjudicates the early
     # transient over all 40 views
@@ -234,6 +242,42 @@ ARMS = {
         "data_name": "SYNTH-FOVHARD",
         "synth_vessel_extent": "0.22",
         "use_motion_hull": "true",
+    },
+    # --- batch 7: frequency-window caps. Batch-6 forensics (metrics.jsonl
+    # of the fov_hull run): ALL regularizer weights are ~0 through the
+    # collapse; what moves is train_static_windowed 1.7->9 while train
+    # PSNR climbs 36->57 dB and held-out image PSNR falls 17->6.5 — pure
+    # 4-view memorization as the encoding unlocks. Cap the pointer
+    # (--*_pos_enc_window_max) at the band count 4 views can constrain.
+    "fov_hull_w3": dict(
+        FOV_HULL, static_pos_enc_window_max="3", save_every="1000"
+    ),
+    "fov_hull_w4": dict(
+        FOV_HULL, static_pos_enc_window_max="4", save_every="1000"
+    ),
+    "fov_hull_w5": dict(
+        FOV_HULL, static_pos_enc_window_max="5", save_every="1000"
+    ),
+    # temp field capped too: it is hull-gated but still composites into
+    # held-out renders
+    "fov_hull_w4_t4": dict(
+        FOV_HULL,
+        static_pos_enc_window_max="4",
+        temp_pos_enc_window_max="4",
+        save_every="1000",
+    ),
+    # high-contrast arm (crashed mid-batch-6 on a TPU worker fault) + cap
+    "fov_hc_hull_w4": {
+        "data_name": "SYNTH-FOVHC",
+        "synth_vessel_extent": "0.22",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "synth_lca_val": "2.4",
+        "synth_vessel_radius": "0.065",
+        "synth_motion_scale": "1.5",
+        "use_motion_hull": "true",
+        "static_pos_enc_window_max": "4",
+        "save_every": "1000",
     },
 }
 

@@ -51,6 +51,26 @@ def test_free_window_alpha():
     assert float(free_window_alpha(12, 150000, 150000, 1)) == 13.0  # basis + 1
 
 
+def test_free_window_cap():
+    basis, decay = 12, 1000
+    # before the cap bites, capped == uncapped
+    np.testing.assert_allclose(
+        np.asarray(free_window_mask(basis, 100, decay, 0, window_max=4.0)),
+        np.asarray(free_window_mask(basis, 100, decay, 0)),
+    )
+    # once ptr passes the cap, the mask freezes at the cap forever —
+    # including past decay_steps (no pin-to-ones)
+    at_cap = np.asarray(free_window_mask(basis, 500, decay, 0, window_max=4.0))
+    for step in [600, 999, 1000, 5000]:
+        got = np.asarray(free_window_mask(basis, step, decay, 0, window_max=4.0))
+        np.testing.assert_allclose(got, at_cap, err_msg=f"step={step}")
+    assert (at_cap[:4] > 0.9).all() and (at_cap[4:] < 1e-7).all()
+    # alpha saturates too
+    assert float(free_window_alpha(basis, 5000, decay, 0, window_max=4.0)) == 4.0
+    # window_max=0 keeps exact reference behavior
+    assert float(free_window_alpha(basis, decay, decay, 0, window_max=0.0)) == 13.0
+
+
 def test_nerfies_window_closed_form():
     basis = 4
     alpha = 2.5
