@@ -519,6 +519,11 @@ def fused_train_loss_and_grads(
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            **(
+                {"vmem_limit_bytes": int(hp.pallas_vmem_mb) * 1024 * 1024}
+                if getattr(hp, "pallas_vmem_mb", 0)
+                else {}
+            ),
         ),
         interpret=ff._INTERPRET,
     )(

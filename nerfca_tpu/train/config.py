@@ -193,6 +193,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_fused_loss", type=_bool, default=False,
                    help="monolithic Pallas train-gradient kernel (render + "
                         "losses + backprop in one pass; coarse path only)")
+    p.add_argument("--pallas_vmem_mb", type=int, default=0,
+                   help="scoped-VMEM ceiling for the fused kernel in MiB "
+                        "(0 = compiler default 16; tiles >= 4096 need ~32)")
     p.add_argument("--steps_per_chunk", type=int, default=None,
                    help="train steps per jitted scan chunk (default: log_every)")
     p.add_argument("--resume_from", type=str, default=None,

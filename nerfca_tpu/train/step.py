@@ -94,6 +94,11 @@ class CompositeHParams:
     compute_dtype: str = "float32"
     use_pallas: bool = False
     pallas_tile: int = 1024
+    # scoped-VMEM ceiling for the fused kernel in MiB (0 = compiler
+    # default, 16 MiB); tiles >= 4096 need ~27 MiB of stack — v5e has
+    # 128 MiB of VMEM, so raising this trades pipelining headroom for
+    # bigger tiles
+    pallas_vmem_mb: int = 0
     # monolithic train-gradient kernel (render + losses + backprop in one
     # Pallas pass; coarse path only — see ops/pallas/fused_train.py)
     use_fused_loss: bool = False

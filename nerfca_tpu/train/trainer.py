@@ -139,6 +139,7 @@ def composite_hparams_from_args(args) -> CompositeHParams:
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         pallas_tile=args.pallas_tile,
+        pallas_vmem_mb=args.pallas_vmem_mb,
         use_fused_loss=args.use_fused_loss,
     )
 

@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5,
-            fused: bool = False):
+            fused: bool = False, vmem_mb: int = 0, dtype: str = "float32"):
     import dataclasses
 
     import jax
@@ -35,7 +35,8 @@ def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5,
 
     params, cfgs, hp = _flagship_setup()
     hp = dataclasses.replace(hp, use_pallas=True, pallas_tile=tile,
-                             use_fused_loss=fused)
+                             use_fused_loss=fused, pallas_vmem_mb=vmem_mb,
+                             compute_dtype=dtype)
     tx = make_optimizer(1e-3, 0.01, 150000)
     state = TrainState(
         params=params,
@@ -73,7 +74,8 @@ def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5,
     dt = time.perf_counter() - t0
     ms = dt / (timed_chunks * steps_per_chunk) * 1e3
     rps = hp.img_sample_size / (ms / 1e3)
-    print(json.dumps({"tile": tile, "ms_per_step": round(ms, 3),
+    print(json.dumps({"tile": tile, "vmem_mb": vmem_mb, "dtype": dtype,
+                      "ms_per_step": round(ms, 3),
                       "rays_per_sec": round(rps)}))
     return ms
 
@@ -82,11 +84,20 @@ def main():
     argv = sys.argv[1:]
     fused = '--fused' in argv
     argv = [a for a in argv if a != '--fused']
+    dtype = "float32"
+    if '--bf16' in argv:
+        dtype = "bfloat16"
+        argv = [a for a in argv if a != '--bf16']
+    vmem_mb = 0
+    if '--vmem' in argv:
+        i = argv.index('--vmem')
+        vmem_mb = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     tiles = [int(t) for t in argv] or [1024, 512, 2048]
     results = {}
     for t in tiles:
         try:
-            results[t] = measure(t, fused=fused)
+            results[t] = measure(t, fused=fused, vmem_mb=vmem_mb, dtype=dtype)
         except Exception as e:  # keep sweeping other tiles
             print(f"  tile {t} FAILED: {type(e).__name__}: {e}")
     print("SUMMARY", json.dumps({str(k): round(v, 3) for k, v in results.items()}))
