@@ -193,6 +193,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_fused_loss", type=_bool, default=False,
                    help="monolithic Pallas train-gradient kernel (render + "
                         "losses + backprop in one pass; coarse path only)")
+    p.add_argument("--ray_jitter_perc", type=float, default=0.0,
+                   help="sub-pixel ray jitter as a fraction of the pixel "
+                        "footprint (1.0 = full pixel cone); anti-"
+                        "memorization control for extreme-sparse views")
     p.add_argument("--pallas_vmem_mb", type=int, default=0,
                    help="scoped-VMEM ceiling for the fused kernel in MiB "
                         "(0 = compiler default 16; tiles >= 4096 need ~32)")

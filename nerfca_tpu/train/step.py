@@ -92,6 +92,14 @@ class CompositeHParams:
     # crushes mid-ray dynamic vessel mass at the 4-view operating point
     occl_front_only: bool = False
     compute_dtype: str = "float32"
+    # sub-pixel ray jitter (world angular units, ~pixel footprint
+    # dDetector/DSD x the configured fraction): each iteration perturbs
+    # the sampled rays perpendicular to their direction, turning exact-ray
+    # line supervision into pixel-cone supervision. Depth stratification
+    # cannot stop lateral memorization streaks at extreme sparsity; this
+    # does. 0 = off (reference behavior). Train-time only — eval renders
+    # pixel centers.
+    ray_jitter: float = 0.0
     use_pallas: bool = False
     pallas_tile: int = 1024
     # scoped-VMEM ceiling for the fused kernel in MiB (0 = compiler
@@ -142,6 +150,30 @@ def window_alpha(cfg: FieldConfig, step):
             alpha = jnp.minimum(alpha, cfg.pos_enc_window_max)
         return alpha
     return jnp.zeros(())
+
+
+def jitter_directions(key, d, jitter: float):
+    """Perturb unit-depth ray directions ``d [n, 3]`` by a uniform
+    sub-pixel offset perpendicular to each ray.
+
+    ``jitter`` is the full lateral footprint in angular units
+    (``dDetector/DSD`` = one pixel); offsets span ``[-jitter/2, jitter/2]``
+    in two perpendicular axes, so ``jitter = pixel angle`` supervises the
+    full pixel cone. The perturbation is perpendicular to ``d``, so the
+    unit-depth parameterization (``points = o + z*d``) keeps its depth
+    scale to O(jitter^2).
+    """
+    up = jnp.where(
+        jnp.abs(d[:, 2:3]) < 0.9,
+        jnp.asarray([0.0, 0.0, 1.0], d.dtype),
+        jnp.asarray([1.0, 0.0, 0.0], d.dtype),
+    )
+    e1 = jnp.cross(d, jnp.broadcast_to(up, d.shape))
+    e1 = e1 / jnp.linalg.norm(e1, axis=-1, keepdims=True)
+    e2 = jnp.cross(d, e1)
+    e2 = e2 / jnp.linalg.norm(e2, axis=-1, keepdims=True)
+    u = (jax.random.uniform(key, (d.shape[0], 2), d.dtype) - 0.5) * jitter
+    return d + u[:, 0:1] * e1 + u[:, 1:2] * e2
 
 
 def sample_ray_batch(key, rays, phases, var_ids, non_var_ids, hp: CompositeHParams):
@@ -368,6 +400,7 @@ def weightless_hp(hp: CompositeHParams) -> CompositeHParams:
         occl_weight_start=0.0, occl_weight_end=0.0,
         l1_weight_start=0.0, l1_weight_end=0.0,
         hyperparam_decay_steps=1,
+        ray_jitter=0.0,  # train-time only; render graphs never read it
     )
 
 
@@ -538,6 +571,13 @@ def make_composite_train_step(
         rng, k_sample, k_depth, k_fine = jax.random.split(state.rng, 4)
 
         batch = sample_ray_batch(k_sample, rays, phases, var_ids, non_var_ids, hp)
+        if hp.ray_jitter > 0:
+            # derive the jitter key from k_fine so the rng stream (and the
+            # bitwise trajectory of existing runs) is unchanged when off
+            k_jit = jax.random.fold_in(k_fine, 1)
+            batch["directions"] = jitter_directions(
+                k_jit, batch["directions"], hp.ray_jitter
+            )
         if batch_sharding is not None:
             batch = {
                 k: jax.lax.with_sharding_constraint(v, batch_sharding)

@@ -230,6 +230,12 @@ def prepare_composite(args, mesh=None):
     hp = composite_hparams_from_args(args)
     if hp.nb_var_rays > 0 and len(var_ids) == 0:
         hp = dataclasses.replace(hp, nb_var_rays=0)
+    if getattr(args, "ray_jitter_perc", 0.0) > 0:
+        # pixel angular footprint from the dataset's cone geometry
+        pix_angle = float(info["dDetector"][0]) / float(info["DSD"])
+        hp = dataclasses.replace(
+            hp, ray_jitter=float(args.ray_jitter_perc) * pix_angle
+        )
 
     cfgs = field_configs_from_args(args)
     tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
@@ -248,7 +254,10 @@ def prepare_composite(args, mesh=None):
 
     cache_key = (
         tuple(sorted(cfgs.items())),
+        # weightless_hp zeroes ray_jitter (render graphs never read it),
+        # but the TRAIN chunk does — key it explicitly
         weightless_hp(hp),
+        hp.ray_jitter,
         (args.lr, args.lr_end_factor, args.lr_decay_steps),
         (near, far, args.depth_samples_per_ray_coarse),
         max_pixel_value,

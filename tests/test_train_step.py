@@ -96,6 +96,54 @@ def test_sample_ray_batch_uniform():
     assert batch["phases"].shape == (64,)
 
 
+def test_jitter_directions_geometry():
+    from nerfca_tpu.train.step import jitter_directions
+
+    rng = np.random.default_rng(3)
+    d = jnp.asarray(
+        np.array([0.0, 0.0, 1.0]) + rng.normal(0, 0.05, (128, 3)),
+        jnp.float32,
+    )
+    jit = 4e-4  # one SYNTH pixel footprint
+    d2 = jitter_directions(jax.random.PRNGKey(0), d, jit)
+    delta = np.asarray(d2 - d)
+    # perpendicular to the original ray, bounded by the footprint
+    dots = np.abs(np.sum(delta * np.asarray(d), axis=-1))
+    assert (dots < 1e-6).all()
+    mags = np.linalg.norm(delta, axis=-1)
+    assert (mags <= jit / np.sqrt(2) + 1e-7).all()
+    assert mags.mean() > jit / 10  # actually perturbs
+    # unit-depth scale preserved to O(jitter^2)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(d2), axis=-1),
+        np.linalg.norm(np.asarray(d), axis=-1),
+        rtol=1e-6,
+    )
+
+
+def test_ray_jitter_off_is_bitwise_reference():
+    """ray_jitter=0 must not perturb the rng stream or the trajectory."""
+    cfgs = tiny_cfgs()
+    tx = make_optimizer(1e-3, 0.01, 100)
+    rays, phases = synthetic_rays()
+    z_hp = tiny_hp()
+    step_off = make_composite_train_step(
+        cfgs, z_hp, tx, linspace_depths(3.6, 5.4, 32), 2.16
+    )
+    step_jit = make_composite_train_step(
+        cfgs, dataclasses.replace(z_hp, ray_jitter=4e-4), tx,
+        linspace_depths(3.6, 5.4, 32), 2.16,
+    )
+    s0 = make_state(cfgs, tx)
+    s_off, m_off = jax.jit(step_off)(s0, rays, phases, None, None)
+    s_on, m_on = jax.jit(step_jit)(make_state(cfgs, tx), rays, phases, None, None)
+    # jitter changes the loss (it is active)...
+    assert float(m_off["train_loss"]) != float(m_on["train_loss"])
+    # ...and the off path matches a second off run bitwise
+    s_off2, m_off2 = jax.jit(step_off)(make_state(cfgs, tx), rays, phases, None, None)
+    assert float(m_off["train_loss"]) == float(m_off2["train_loss"])
+
+
 def test_sample_ray_batch_var_oversampling():
     rays, phases = synthetic_rays(256)
     # mark rays 0..9 identifiable via pixel value
