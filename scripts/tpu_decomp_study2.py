@@ -279,6 +279,44 @@ ARMS = {
         "static_pos_enc_window_max": "4",
         "save_every": "1000",
     },
+    # --- batch 8: sub-pixel ray jitter. Batch-7 adjudicated the caps:
+    # w4 collapses identically to uncapped (trigger fires at ptr 3.7 < 4)
+    # and even w3 — frozen at the last-healthy 3 bands — slides 17.3 ->
+    # 8.2, because free_windowed prepends RAW COORDS and the MLP memorizes
+    # exact training rays at any band count. Depth stratification only
+    # jitters along rays; --ray_jitter_perc adds the lateral axis
+    # (pixel-cone supervision). Jitter arms share one compile per jitter
+    # value (data is not part of the graph).
+    "fov_hull_jit": dict(FOV_HULL, ray_jitter_perc="1.0", save_every="500"),
+    "fov_hc_hull_jit": {
+        "data_name": "SYNTH-FOVHC",
+        "synth_vessel_extent": "0.22",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "synth_lca_val": "2.4",
+        "synth_vessel_radius": "0.065",
+        "synth_motion_scale": "1.5",
+        "use_motion_hull": "true",
+        "ray_jitter_perc": "1.0",
+        "save_every": "500",
+    },
+    # wider-than-pixel cone: stronger smoothing if 1-pixel is not enough
+    "fov_hull_jit2": dict(
+        FOV_HULL, ray_jitter_perc="2.0", save_every="500"
+    ),
+    # high contrast WITHOUT jitter: batch-6's crashed arm, the image-
+    # quality lever on its own (peaked 20.0 dB at step 1000 pre-crash)
+    "fov_hc_hull": {
+        "data_name": "SYNTH-FOVHC",
+        "synth_vessel_extent": "0.22",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "synth_lca_val": "2.4",
+        "synth_vessel_radius": "0.065",
+        "synth_motion_scale": "1.5",
+        "use_motion_hull": "true",
+        "save_every": "500",
+    },
 }
 
 DATA_KEYS = (
@@ -374,7 +412,14 @@ def main():
     if argv and argv[0] == "--arms":
         names = argv[1].split(",")
 
+    # merge with prior batches at the same n (the ledger used to be
+    # clobbered per invocation; arm rows are keyed by name)
+    out_path = f"cases/SYNTH/decomp_study2-{n}.json"
     results = []
+    if os.path.isfile(out_path):
+        results = [
+            r for r in json.load(open(out_path)) if r["name"] not in names
+        ]
     for name in names:
         overrides = ARMS[name]
         print(f"\n=== arm {name}: {overrides} ===", flush=True)
@@ -414,7 +459,7 @@ def main():
         }
         results.append(row)
         print(json.dumps(row), flush=True)
-        with open(f"cases/SYNTH/decomp_study2-{n}.json", "w") as f:
+        with open(out_path, "w") as f:
             json.dump(results, f, indent=2)
 
     print("\n=== summary (40-view means per checkpoint) ===")
