@@ -193,6 +193,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_fused_loss", type=_bool, default=False,
                    help="monolithic Pallas train-gradient kernel (render + "
                         "losses + backprop in one pass; coarse path only)")
+    p.add_argument("--early_stop_patience", type=int, default=0,
+                   help="stop when the selection metric (best_metric) has "
+                        "not improved for this many in-loop evals (0 = "
+                        "off); a final checkpoint is still saved")
     p.add_argument("--ray_jitter_perc", type=float, default=0.0,
                    help="sub-pixel ray jitter as a fraction of the pixel "
                         "footprint (1.0 = full pixel cone); anti-"

@@ -396,7 +396,11 @@ def _chunked_train_loop(
             profile_left = 0
 
         if eval_fn is not None and (step % args.display_every == 0 or stop):
-            eval_fn(state, step)
+            # an eval_fn may request a stop (metric-patience early stop);
+            # the save below then still fires, capturing the final state
+            if eval_fn(state, step) and not stop:
+                print(f"Early stop at step {step}: eval patience exhausted")
+                stop = True
 
         if save_fn is not None and (
             step % args.save_every == 0 or stop or step >= n_total
@@ -461,6 +465,23 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
         return False
 
     last_eval = {}  # feeds best-by-metric checkpoint retention
+    patience = int(getattr(args, "early_stop_patience", 0) or 0)
+    best_seen = [float("-inf"), 0]  # [best selection metric, stale evals]
+
+    def _selection_metric():
+        """Scalar the checkpoint-best retention keys on (and the patience
+        stop watches): selection-view image PSNR, with non-separated
+        checkpoints docked 1000 under best_metric=separated_psnr."""
+        metric = last_eval.get("test_image_psnr")
+        if (
+            metric is not None
+            and getattr(args, "best_metric", "image_psnr") == "separated_psnr"
+        ):
+            corr = last_eval.get("test_dyn_corr")
+            thr = float(getattr(args, "sep_corr_threshold", 0.5))
+            if corr is not None and corr < thr:
+                metric = metric - 1000.0
+        return metric
 
     def eval_fn(state, step):
         render = evaluation.render_test_view(
@@ -516,33 +537,34 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
             f"step {step}: test_loss={tm['test_loss']:.6f} "
             f"test_psnr={tm['test_psnr']:.3f} image_psnr={tm['test_image_psnr']:.3f}"
         )
+        if patience > 0:
+            metric = _selection_metric()
+            if metric is not None and metric > best_seen[0]:
+                best_seen[0], best_seen[1] = metric, 0
+            else:
+                best_seen[1] += 1
+            # under checkpoint-best retention, post-peak steps are pure
+            # waste at the 4-view operating point (memorization collapse)
+            return best_seen[1] >= patience
+        return False
 
     ckpt_mgr = CheckpointManager(
         log_dir, keep_last_n=getattr(args, "keep_last_n_checkpoints", 3)
     )
 
     def save_fn(state, step):
-        metric = last_eval.get("test_image_psnr")
-        if (
-            metric is not None
-            and getattr(args, "best_metric", "image_psnr") == "separated_psnr"
-        ):
-            # Separation-aware model selection (superset of the reference,
-            # which has no in-loop selection at all): a checkpoint whose
-            # selection-view dynamic render correlates with the artery GT
-            # above the threshold always outranks one below it; within a
-            # tier, image PSNR decides. Encoded as a single scalar by
-            # docking non-separated checkpoints 1000 (PSNRs live in
-            # [0, ~50], so tiers never interleave).
-            corr = last_eval.get("test_dyn_corr")
-            thr = float(getattr(args, "sep_corr_threshold", 0.5))
-            if corr is not None and corr < thr:
-                metric = metric - 1000.0
+        # Separation-aware model selection (superset of the reference,
+        # which has no in-loop selection at all): a checkpoint whose
+        # selection-view dynamic render correlates with the artery GT
+        # above the threshold always outranks one below it; within a
+        # tier, image PSNR decides. Encoded as a single scalar by docking
+        # non-separated checkpoints 1000 (PSNRs live in [0, ~50], so
+        # tiers never interleave) — see _selection_metric.
         ckpt_mgr.save(
             state,
             cfgs,
             run_metadata={"data_name": args.data_name, "step": int(state.step)},
-            metric=metric,
+            metric=_selection_metric(),
         )
 
     state = _chunked_train_loop(
