@@ -193,6 +193,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_fused_loss", type=_bool, default=False,
                    help="monolithic Pallas train-gradient kernel (render + "
                         "losses + backprop in one pass; coarse path only)")
+    p.add_argument("--static_freeze_step", type=int, default=0,
+                   help="freeze the static field's parameters from this "
+                        "step on (0 = never); the dynamic field keeps "
+                        "training — two-timescale sparse-view control")
     p.add_argument("--early_stop_patience", type=int, default=0,
                    help="stop when the selection metric (best_metric) has "
                         "not improved for this many in-loop evals (0 = "

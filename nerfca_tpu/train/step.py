@@ -79,6 +79,14 @@ class CompositeHParams:
     l1_weight_start: float = 0.0
     l1_weight_end: float = 0.0
     hyperparam_decay_steps: int = 100000
+    # freeze the static field's parameters from this step on (0 = never).
+    # Collapse forensics (scripts/collapse_forensics.py): at 4 views the
+    # static field peaks early then memorizes (held-out static render
+    # 15.5 -> 5.4 dB) while the dynamic field improves monotonically
+    # (15.4 -> 20.6 dB); freezing static at its peak lets the dynamic
+    # field keep training without the composite collapsing. Traced via
+    # schedule_from_hp — freeze sweeps share one compile.
+    static_freeze_step: int = 0
     # regularizer shape parameters
     skewness_val: float = 1.0
     entro_mask_thre: float = 1e-4
@@ -382,6 +390,7 @@ def schedule_from_hp(hp: CompositeHParams) -> dict:
         "l1_start": jnp.float32(hp.l1_weight_start),
         "l1_end": jnp.float32(hp.l1_weight_end),
         "decay_steps": jnp.float32(hp.hyperparam_decay_steps),
+        "static_freeze": jnp.float32(hp.static_freeze_step),
     }
 
 
@@ -400,6 +409,7 @@ def weightless_hp(hp: CompositeHParams) -> CompositeHParams:
         occl_weight_start=0.0, occl_weight_end=0.0,
         l1_weight_start=0.0, l1_weight_end=0.0,
         hyperparam_decay_steps=1,
+        static_freeze_step=0,
         ray_jitter=0.0,  # train-time only; render graphs never read it
     )
 
@@ -606,6 +616,19 @@ def make_composite_train_step(
                 state.params
             )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # static-field freeze (traced; 0 = off): past the freeze step the
+        # static subtree's updates are zeroed while the dynamic field
+        # keeps training — see CompositeHParams.static_freeze_step
+        freeze = (sched or schedule_from_hp(hp))["static_freeze"]
+        gate = jnp.where(
+            (freeze > 0) & (state.step.astype(jnp.float32) >= freeze),
+            0.0, 1.0,
+        )
+        updates = {
+            k: jax.tree.map(lambda u: u * gate, v)
+            if k.startswith("static") else v
+            for k, v in updates.items()
+        }
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1, rng)
         return new_state, metrics

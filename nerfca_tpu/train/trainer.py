@@ -129,6 +129,7 @@ def composite_hparams_from_args(args) -> CompositeHParams:
         l1_weight_start=args.l1_weight_start,
         l1_weight_end=args.l1_weight_end,
         hyperparam_decay_steps=args.hyperparam_decay_steps,
+        static_freeze_step=args.static_freeze_step,
         skewness_val=args.skewness_val,
         entro_mask_thre=args.entro_mask_thre,
         entro_use_weighting=args.entro_use_weighting,

@@ -311,6 +311,35 @@ def test_train_chunk_n_valid_masks_tail_steps():
     )
 
 
+def test_static_freeze_stops_static_updates_only():
+    from nerfca_tpu.train.step import schedule_from_hp
+
+    cfgs = tiny_cfgs()
+    tx = make_optimizer(1e-3, 0.01, 100)
+    rays, phases = synthetic_rays()
+    hp = tiny_hp(static_freeze_step=1)
+    step_fn = jax.jit(make_composite_train_step(
+        cfgs, hp, tx, linspace_depths(3.6, 5.4, 32), 2.16
+    ))
+    s = make_state(cfgs, tx)
+    sched = schedule_from_hp(hp)
+    # step 0 < freeze: both fields update
+    s1, _ = step_fn(s, rays, phases, None, None, sched)
+    d_static0 = float(jnp.abs(s1.params["static"]["early"][0]["w"] - s.params["static"]["early"][0]["w"]).max())
+    assert d_static0 > 0
+    # step 1 >= freeze: static frozen, temp still training
+    s2, _ = step_fn(s1, rays, phases, None, None, sched)
+    d_static = float(jnp.abs(s2.params["static"]["early"][0]["w"] - s1.params["static"]["early"][0]["w"]).max())
+    d_temp = float(jnp.abs(s2.params["temp"]["early"][0]["w"] - s1.params["temp"]["early"][0]["w"]).max())
+    assert d_static == 0.0
+    assert d_temp > 0
+    # freeze=0 (off) leaves both training — SAME compiled step, new sched
+    hp_off = tiny_hp(static_freeze_step=0)
+    s3, _ = step_fn(s1, rays, phases, None, None, schedule_from_hp(hp_off))
+    d_static_off = float(jnp.abs(s3.params["static"]["early"][0]["w"] - s1.params["static"]["early"][0]["w"]).max())
+    assert d_static_off > 0
+
+
 def test_traced_schedule_changes_weights_without_retrace():
     """The loss-weight schedule rides in as a traced input: one compiled
     chunk serves configs that differ only in regularizer weights (sweeps
