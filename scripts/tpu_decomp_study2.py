@@ -317,6 +317,39 @@ ARMS = {
         "use_motion_hull": "true",
         "save_every": "500",
     },
+    # --- batch 9: two-timescale freeze (collapse forensics: the static
+    # field peaks at ~step 750 then memorizes globally while the dynamic
+    # field improves monotonically — freeze static at its peak, keep
+    # training dynamic). Freeze rides the traced schedule, so these arms
+    # share ONE compile.
+    "fov_hull_jit_fz500": dict(
+        FOV_HULL, ray_jitter_perc="1.0", static_freeze_step="500",
+        save_every="500",
+    ),
+    "fov_hull_jit_fz750": dict(
+        FOV_HULL, ray_jitter_perc="1.0", static_freeze_step="750",
+        save_every="500",
+    ),
+    "fov_hull_jit_fz1000": dict(
+        FOV_HULL, ray_jitter_perc="1.0", static_freeze_step="1000",
+        save_every="500",
+    ),
+    # the batch-8 winner (stable, monotone 22.4 dB at 6k and rising) at a
+    # longer horizon — run with n=20000
+    "fov_hc_hull_jit_long": {
+        "data_name": "SYNTH-FOVHC",
+        "synth_vessel_extent": "0.22",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "synth_lca_val": "2.4",
+        "synth_vessel_radius": "0.065",
+        "synth_motion_scale": "1.5",
+        "use_motion_hull": "true",
+        "ray_jitter_perc": "1.0",
+        "save_every": "1000",
+        "display_every": "500",
+        "early_stop_patience": "10",
+    },
 }
 
 DATA_KEYS = (
