@@ -334,6 +334,35 @@ ARMS = {
         FOV_HULL, ray_jitter_perc="1.0", static_freeze_step="1000",
         save_every="500",
     ),
+    # freeze stacked on the batch-8 winner: its 40-view SSIM peaks at
+    # checkpoint-1000 (0.938) then slides to 0.88 while dyn_psnr keeps
+    # climbing to 27 — freezing static at the SSIM peak should hold both
+    "fov_hc_hull_jit_fz1000": {
+        "data_name": "SYNTH-FOVHC",
+        "synth_vessel_extent": "0.22",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "synth_lca_val": "2.4",
+        "synth_vessel_radius": "0.065",
+        "synth_motion_scale": "1.5",
+        "use_motion_hull": "true",
+        "ray_jitter_perc": "1.0",
+        "static_freeze_step": "1000",
+        "save_every": "500",
+    },
+    "fov_hc_hull_jit_fz1500": {
+        "data_name": "SYNTH-FOVHC",
+        "synth_vessel_extent": "0.22",
+        "synth_rib_scale": "0.35",
+        "synth_smooth_sigma": "1.5",
+        "synth_lca_val": "2.4",
+        "synth_vessel_radius": "0.065",
+        "synth_motion_scale": "1.5",
+        "use_motion_hull": "true",
+        "ray_jitter_perc": "1.0",
+        "static_freeze_step": "1500",
+        "save_every": "500",
+    },
     # the batch-8 winner (stable, monotone 22.4 dB at 6k and rising) at a
     # longer horizon — run with n=20000
     "fov_hc_hull_jit_long": {
@@ -497,7 +526,7 @@ def main():
 
     print("\n=== summary (40-view means per checkpoint) ===")
     for r in results:
-        for ev in r["evals"]:
+        for ev in r.get("evals", []):
             print(
                 f"{r['name']:16s} {ev['ckpt']:18s} "
                 f"psnr={ev['mean_psnr']:.2f} "
