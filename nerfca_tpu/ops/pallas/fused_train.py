@@ -104,8 +104,9 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
      clip_thr) = hp_tuple
     R = n_rays_total
 
-    def seg_sum(vec_1t):
-        """[1, T] -> [1, T]: each sample holds its ray's segment sum.
+    def seg_sum(vec_kt):
+        """[k, T] -> [k, T]: each sample holds its ray's segment sum
+        (per row).
 
         Precision.HIGHEST is load-bearing: the default TPU matmul
         precision feeds the MXU bf16 operands, which truncates the
@@ -113,48 +114,61 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
         relative — caught by bench.py's hardware gate (CPU interpret mode
         computes true f32 and cannot see it). These are thin [rt, T]
         matmuls; the 3-pass f32 cost is negligible."""
-        s = jax.lax.dot_general(seg, vec_1t, (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(seg, vec_kt, (((1,), (1,)), ((), ())),
                                 precision=jax.lax.Precision.HIGHEST)
         return jax.lax.dot_general(s, seg, (((0,), (0,)), ((), ())),
                                    precision=jax.lax.Precision.HIGHEST)
 
-    sig_s = _act_sigma(raw_s, activation)
+    # STACKED-ROW layout: the static/dynamic streams ride as rows 0/1 of
+    # [2, T] arrays, and all four entropy logarithms collapse into ONE
+    # [4, T] transcendental. A [1, T] row vector occupies only 1 of the 8
+    # f32 sublanes per vreg, so every elementwise op on it wastes 7/8 of
+    # the VPU; stacking the parallel streams recovers 2-4x on the loss
+    # pipeline's VPU work (the math is unchanged — rows never mix except
+    # where the reference sums them).
+    raw = jnp.concatenate([raw_s, raw_t], axis=0)  # [2, T]
     # the motion-hull gate (ops/hull.py) rides in geometry row 7; it is
     # all-ones when the hull is off, and x * 1.0 is bitwise-exact in f32,
-    # so the ungated path is unchanged
-    sig_d = _act_sigma(raw_t, activation) * hull_row
-    sd_s = sig_s * dists
-    sd_d = sig_d * dists
+    # so the ungated path is unchanged. The gate applies to the DYNAMIC
+    # row only.
+    gate = jnp.concatenate([jnp.ones_like(hull_row), hull_row], axis=0)
+    sig = _act_sigma(raw, activation) * gate  # [2, T]
+    sd = sig * dists  # [2, T]
+    ssum = seg_sum(sd)  # [2, T] per-row per-ray sums
 
     # pixel term: sum_r w_r (pix_r - gt_r)^2 / R, counted once per ray
-    pix = i0 - seg_sum(sd_s + sd_d)
+    pix = i0 - (ssum[0:1, :] + ssum[1:2, :])
     pix_partial = jnp.sum(first * wts * (pix - gt) ** 2) / R
 
     # favor_s: mean over [R, S_valid] of the blendw binary entropy
-    blendw = sig_d / (sig_s + sig_d + 1e-10)
+    blendw = sig[1:2, :] / (sig[0:1, :] + sig[1:2, :] + 1e-10)
     b = jnp.clip(blendw**skewness, 1e-19, 1 - 1e-19)
     rev = jnp.clip(1 - b, 1e-19, None)
-    ent_b = -(b * jnp.log(b) + rev * jnp.log(rev)) * valid
+    brev = jnp.concatenate([b, rev], axis=0)  # [2, T]
+
+    # per-ray density-distribution entropies (both fields at once)
+    p = sd / jnp.clip(ssum, clip_thr, None)  # [2, T]
+
+    logs = jnp.log(jnp.concatenate([brev, p + 1e-10], axis=0))  # [4, T]
+
+    ent_b = -(brev[0:1, :] * logs[0:1, :]
+              + brev[1:2, :] * logs[1:2, :]) * valid
     favor_partial = jnp.sum(ent_b) / (R * s_valid)
 
-    def ray_entropy(sd, mask_extra=None):
-        ssum = seg_sum(sd)
-        mask = (ssum >= mask_thre).astype(jnp.float32)
-        if mask_extra is not None:
-            mask = jnp.maximum(mask, mask_extra)
-        p = sd / jnp.clip(ssum, clip_thr, None)
-        ent = jnp.sum(mask * -(p * jnp.log(p + 1e-10)) * valid) / R
-        sig_mean = jnp.sum(first * ssum) / R
-        return ent, sig_mean
+    mask = (ssum >= mask_thre).astype(jnp.float32)  # [2, T]
+    if use_weighting:
+        # the variance-mask OR-in applies to the DYNAMIC entropy only
+        var_mask = (wts > 1.0 + weighted_thresh).astype(jnp.float32)
+        row2 = jax.lax.broadcasted_iota(jnp.int32, (2, 1), 0)
+        mask = jnp.where(row2 == 1, jnp.maximum(mask, var_mask), mask)
+    ent_rows = mask * -(p * logs[2:4, :]) * valid  # [2, T]
+    s_ent_partial = jnp.sum(ent_rows[0:1, :]) / R
+    d_ent_partial = jnp.sum(ent_rows[1:2, :]) / R
+    s_sig_partial = jnp.sum(first * ssum[0:1, :]) / R
+    d_sig_partial = jnp.sum(first * ssum[1:2, :]) / R
 
-    s_ent_partial, s_sig_partial = ray_entropy(sd_s)
-    var_mask = (
-        (wts > 1.0 + weighted_thresh).astype(jnp.float32)
-        if use_weighting else None
-    )
-    d_ent_partial, d_sig_partial = ray_entropy(sd_d, var_mask)
-
-    occl_partial = jnp.sum(sd_d * occl_mask) / R
+    sd_s = sd[0:1, :]
+    occl_partial = jnp.sum(sd[1:2, :] * occl_mask) / R
     l1_partial = jnp.sum(sd_s)
     l2_partial = jnp.sum(sd_s**2)
 
@@ -179,8 +193,8 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
         "blendw": jnp.sum(blendw * valid) / (R * s_valid),
         # padded samples repeat the ray's last depth point, so the maxima
         # are unaffected by padding
-        "smax": jnp.max(sig_s),
-        "dmax": jnp.max(sig_d),
+        "smax": jnp.max(sig[0:1, :]),
+        "dmax": jnp.max(sig[1:2, :]),
     }
     return loss_partial, aux
 

@@ -2,15 +2,18 @@
 
 The reference defines 2/3/4-view presets (``general_helpers.py:131-141``);
 the 4-view preset is the headline operating point, but the 2/3-view presets
-are part of the capability surface. This runs one short compressed-schedule
-training per preset and records the 40-view eval — exercising view
-selection, dataset build, training, and eval end-to-end at each preset.
+are part of the capability surface. This runs one training per preset at
+the round-3 quality operating point (``configs/synth-4view-best.txt``:
+SYNTH-FOVHC phantom + motion hull + ray jitter — the base phantom was
+shown geometrically ill-posed by the FOV forensics, BENCH.md round 3) and
+records the 40-view eval — exercising view selection, dataset build,
+training, and eval end-to-end at each preset.
 
 The dataset json naming (reference contract) does not encode numb_angles,
 so each preset gets a distinct ``data_step_size`` (> limited_range, unused
 by the preset path beyond the range check) to keep distinct artifact names.
 
-Usage: python scripts/tpu_preset_views.py [n_iters=10000]
+Usage: python scripts/tpu_preset_views.py [n_iters=6000]
 """
 import json
 import os
@@ -28,25 +31,17 @@ PRESETS = {3: "130", 2: "140"}  # numb_angles -> distinct data_step_size
 
 def build(n_iters: int, numb: int, step_size: str, resume=None):
     argv = [
-        "--config", "configs/composite.txt",
-        "--data_name", "SYNTH",
-        "--data_size", "200",
-        "--synth_vol_size", "96",
+        "--config", "configs/synth-4view-best.txt",
         "--data_numb_angles", str(numb),
         "--data_step_size", step_size,
         "--n_iters", str(n_iters),
-        "--display_every", "500",
-        "--save_every", str(n_iters // 2),
-        "--log_every", "200",
-        "--steps_per_chunk", "500",
+        "--save_every", "500",
+        "--steps_per_chunk", "250",
         "--lr_decay_steps", str(int(n_iters * 0.75)),
         "--static_pos_enc_window_decay_steps", str(int(n_iters * 0.75)),
         "--temp_pos_enc_window_decay_steps", str(int(n_iters * 0.75)),
         "--hyperparam_decay_steps", str(int(n_iters * 0.5)),
         "--favor_s_weight_delay_steps", str(int(n_iters * 0.2)),
-        "--entro_clip_threshold", "1e-6",
-        "--use_pallas", "true",
-        "--use_fused_loss", "true",
         "--use_wandb", "false",
         "--data_root", "data",
         "--log_dir_root", "cases",
@@ -57,7 +52,7 @@ def build(n_iters: int, numb: int, step_size: str, resume=None):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
     results = []
     for numb, step_size in PRESETS.items():
         print(f"\n=== {numb}-view preset ===", flush=True)
