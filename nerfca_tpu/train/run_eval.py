@@ -33,6 +33,7 @@ from nerfca_tpu.train.config import parse_args
 from nerfca_tpu.train.trainer import (
     composite_hparams_from_args,
     field_configs_from_args,
+    resolve_pallas_support,
     _init_composite_state,
 )
 from nerfca_tpu.train.step import make_optimizer
@@ -59,6 +60,7 @@ def evaluate_checkpoint(args, write_images: bool = True) -> dict:
     except (OSError, KeyError):
         cfgs = field_configs_from_args(args)
     hp = composite_hparams_from_args(args)
+    hp = resolve_pallas_support(hp, cfgs)
 
     tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
     example = _init_composite_state(args, cfgs, tx)

@@ -34,6 +34,7 @@ from nerfca_tpu.train.trainer import (
     _init_composite_state,
     composite_hparams_from_args,
     field_configs_from_args,
+    resolve_pallas_support,
 )
 
 
@@ -58,6 +59,7 @@ def render_views(args, views: list[tuple[float, float, int]]) -> list[dict]:
     except (OSError, KeyError):
         cfgs = field_configs_from_args(args)
     hp = composite_hparams_from_args(args)
+    hp = resolve_pallas_support(hp, cfgs)
     tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
     state = load_checkpoint(args.resume_from, _init_composite_state(args, cfgs, tx))
     step = int(state.step)

@@ -145,6 +145,38 @@ def composite_hparams_from_args(args) -> CompositeHParams:
     )
 
 
+def resolve_pallas_support(hp, cfgs):
+    """Downgrade ``use_pallas``/``use_fused_loss`` to the general XLA path
+    when any field config falls outside the fused kernels' envelope
+    (hidden width 128, no late layers, ...; ``fused_field.pallas_supported``)
+    instead of raising at trace time. The specialized kernels serve the
+    flagship shapes; the XLA path is the semantically-identical fallback
+    for everything else (pinned equal by the fused-vs-unfused tests).
+
+    ``cfgs`` is the dict of every config the forward will evaluate
+    (including the ``*_fine`` pair when hierarchical sampling is on) or a
+    single ``FieldConfig`` for the static trainer.
+    """
+    if not getattr(hp, "use_pallas", False):
+        return hp
+    from nerfca_tpu.ops.pallas.fused_field import pallas_supported
+
+    all_cfgs = list(cfgs.values()) if isinstance(cfgs, dict) else [cfgs]
+    if all(pallas_supported(c) for c in all_cfgs):
+        return hp
+    import warnings
+
+    warnings.warn(
+        "field config outside the fused-kernel envelope "
+        "(width-128, no late layers); falling back to the XLA path "
+        "(use_pallas=False)"
+    )
+    kw = {"use_pallas": False}
+    if hasattr(hp, "use_fused_loss"):
+        kw["use_fused_loss"] = False
+    return dataclasses.replace(hp, **kw)
+
+
 def _variance_ray_split(rays: np.ndarray, var_sample_thre: float):
     """High-variance ray id set and its complement
     (``run_composite.py:96-105``)."""
@@ -239,6 +271,7 @@ def prepare_composite(args, mesh=None):
         )
 
     cfgs = field_configs_from_args(args)
+    hp = resolve_pallas_support(hp, cfgs)
     tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
     state = _init_composite_state(args, cfgs, tx)
 
@@ -633,6 +666,7 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
         hp = dataclasses.replace(hp, nb_var_rays=0)
 
     cfg = field_configs_from_args(args)["static"]
+    hp = resolve_pallas_support(hp, cfg)
     tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
     key = jax.random.PRNGKey(args.seed)
     params = {"static": init_static_field(key, cfg)}

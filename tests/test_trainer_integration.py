@@ -203,3 +203,48 @@ def test_sweep_rank_value_pushes_nan_last():
     assert ranked[0] == 3.0 and ranked[1] == 1.0
     ranked_min = sorted(vals, key=lambda v: _rank_value(v, "minimize"))
     assert ranked_min[0] == 1.0 and ranked_min[1] == 3.0
+
+
+def test_resolve_pallas_support_downgrades_gracefully():
+    """An unsupported field config (width != 128) must downgrade
+    use_pallas/use_fused_loss with a warning instead of raising at trace
+    time; supported configs pass through untouched."""
+    import dataclasses
+    import warnings
+
+    from nerfca_tpu.models.fields import FieldConfig
+    from nerfca_tpu.train.step import CompositeHParams
+    from nerfca_tpu.train.trainer import resolve_pallas_support
+
+    ok = FieldConfig(num_early_layers=2, num_filters=128)
+    small = dataclasses.replace(ok, num_filters=64)
+    hp = CompositeHParams(
+        img_sample_size=4, depth_samples_coarse=8,
+        use_pallas=True, use_fused_loss=True,
+    )
+
+    assert resolve_pallas_support(hp, {"static": ok, "temp": ok}) is hp
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = resolve_pallas_support(hp, {"static": ok, "temp": small})
+    assert not out.use_pallas and not out.use_fused_loss
+    assert any("envelope" in str(x.message) for x in w)
+
+    # fine configs count: the hierarchical pass rides the fused path too
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = resolve_pallas_support(
+            hp, {"static": ok, "temp": ok, "static_fine": small}
+        )
+    assert not out.use_pallas
+
+    # single-config (static trainer) form
+    assert resolve_pallas_support(hp, ok) is hp
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = resolve_pallas_support(hp, small)
+    assert not out.use_pallas
+
+    off = dataclasses.replace(hp, use_pallas=False)
+    assert resolve_pallas_support(off, {"static": small}) is off
