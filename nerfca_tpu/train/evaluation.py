@@ -59,7 +59,11 @@ def _render_composite_tiles(
 
     def one_tile(args):
         o, d, ph = args
-        if hp.use_pallas:
+        from nerfca_tpu.ops.pallas.fused_field import pallas_supported
+
+        if hp.use_pallas and pallas_supported(
+            cfgs["static"]
+        ) and pallas_supported(cfgs["temp"]):
             # ray-form fused path avoids materializing [rays, S, 3] points
             # (42x-padded TPU layout; ~1GB physical per eval tile otherwise)
             from nerfca_tpu.ops.pallas.fused_field import (

@@ -223,7 +223,11 @@ def evaluate_composite(
     ``run_composite.py:196-209``)."""
     static_cfg = cfgs["static" + suffix]
     temp_cfg = cfgs["temp" + suffix]
-    if hp.use_pallas:
+    from nerfca_tpu.ops.pallas.fused_field import pallas_supported
+
+    if hp.use_pallas and pallas_supported(static_cfg) and pallas_supported(
+        temp_cfg
+    ):
         from nerfca_tpu.ops.pallas.fused_field import (
             fused_composite_fields,
         )
@@ -268,10 +272,17 @@ def composite_forward(
     (framework extension; None preserves reference behavior exactly).
     Mirrors ``model_helpers.py:115-160``.
     """
+    from nerfca_tpu.ops.pallas.fused_field import pallas_supported
+
     origins, dirs = batch["origins"], batch["directions"]
     i0 = batch["initial_intensities"]
     n_rays = origins.shape[0]
-    if hp.use_pallas:
+    # per-pass gating: each pass rides the fused kernel only when ITS
+    # config pair is inside the kernel envelope, so e.g. reduced-width
+    # fine fields fall back to XLA without costing the coarse pass
+    if hp.use_pallas and pallas_supported(cfgs["static"]) and pallas_supported(
+        cfgs["temp"]
+    ):
         # ray-form fused path: never materializes [R*S, 3] points (TPU pads
         # minor-dim-3 arrays 42x; see the kernel module docstring)
         from nerfca_tpu.ops.pallas.fused_field import fused_composite_fields_rays
@@ -321,7 +332,9 @@ def composite_forward(
         z_pdf = sample_pdf(rng, z_mid, w[:, 1:-1], hp.depth_samples_fine)
         z_fine = jnp.sort(jnp.concatenate([z_pdf, z], axis=-1), axis=-1)
         s_total = hp.depth_samples_coarse + hp.depth_samples_fine
-        if hp.use_pallas:
+        if hp.use_pallas and pallas_supported(
+            cfgs["static_fine"]
+        ) and pallas_supported(cfgs["temp_fine"]):
             from nerfca_tpu.ops.pallas.fused_field import (
                 fused_composite_fields_rays,
             )
@@ -751,7 +764,9 @@ def static_loss_fn(params, batch, depth_values, step, cfg: FieldConfig, hp: Stat
     window = field_window(cfg, step)
     origins, dirs = batch["origins"], batch["directions"]
     pts = origins[:, None, :] + dirs[:, None, :] * depth_values[:, None]
-    if hp.use_pallas:
+    from nerfca_tpu.ops.pallas.fused_field import pallas_supported
+
+    if hp.use_pallas and pallas_supported(cfg):
         from nerfca_tpu.ops.pallas.fused_field import fused_static_field
 
         raw = fused_static_field(params["static"], pts, cfg, window)

@@ -153,19 +153,33 @@ def resolve_pallas_support(hp, cfgs):
     flagship shapes; the XLA path is the semantically-identical fallback
     for everything else (pinned equal by the fused-vs-unfused tests).
 
-    ``cfgs`` is the dict of every config the forward will evaluate
-    (including the ``*_fine`` pair when hierarchical sampling is on) or a
-    single ``FieldConfig`` for the static trainer.
+    ``cfgs`` is the dict of every config the forward will evaluate or a
+    single ``FieldConfig`` for the static trainer. Only the COARSE pair
+    decides the downgrade: ``composite_forward`` gates each pass on its
+    own config pair, so an unsupported ``*_fine`` pair falls back to XLA
+    for the fine pass alone (warned here) without costing the fused
+    coarse pass.
     """
     if not getattr(hp, "use_pallas", False):
         return hp
-    from nerfca_tpu.ops.pallas.fused_field import pallas_supported
-
-    all_cfgs = list(cfgs.values()) if isinstance(cfgs, dict) else [cfgs]
-    if all(pallas_supported(c) for c in all_cfgs):
-        return hp
     import warnings
 
+    from nerfca_tpu.ops.pallas.fused_field import pallas_supported
+
+    coarse = (
+        [cfgs[k] for k in ("static", "temp") if k in cfgs]
+        if isinstance(cfgs, dict)
+        else [cfgs]
+    )
+    if all(pallas_supported(c) for c in coarse):
+        if isinstance(cfgs, dict) and not all(
+            pallas_supported(c) for c in cfgs.values()
+        ):
+            warnings.warn(
+                "fine-field config outside the fused-kernel envelope; the "
+                "fine pass runs on the XLA path (coarse stays fused)"
+            )
+        return hp
     warnings.warn(
         "field config outside the fused-kernel envelope "
         "(width-128, no late layers); falling back to the XLA path "

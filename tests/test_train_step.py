@@ -372,3 +372,62 @@ def test_traced_schedule_changes_weights_without_retrace():
     assert not np.allclose(
         np.asarray(m_a["train_loss"]), np.asarray(m_b["train_loss"])
     )
+
+
+def test_mixed_pass_pallas_gating_matches_xla(monkeypatch):
+    """Hierarchical forward with a fused-supported coarse pair (width 128)
+    and an UNSUPPORTED fine pair (width 64): use_pallas=True must run the
+    coarse pass through the fused kernel (interpret mode here) and the
+    fine pass on XLA, and match the all-XLA forward exactly in shape and
+    closely in value."""
+    from nerfca_tpu.ops.pallas import fused_field as ff
+    from nerfca_tpu.train.step import composite_forward, field_window
+
+    monkeypatch.setattr(ff, "_INTERPRET", True)
+    kw = dict(
+        num_early_layers=2, num_filters=128,
+        pos_enc="free_windowed", pos_enc_basis=4,
+        pos_enc_window_start=1, pos_enc_window_decay_steps=200,
+    )
+    cfgs = {
+        "static": FieldConfig(**kw),
+        "temp": FieldConfig(use_time_latents=True, num_time_dim=8, **kw),
+    }
+    cfgs["static_fine"] = dataclasses.replace(cfgs["static"], num_filters=64)
+    cfgs["temp_fine"] = dataclasses.replace(cfgs["temp"], num_filters=64)
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 6)
+    params = {
+        "static": init_static_field(ks[0], cfgs["static"]),
+        "temp": init_temporal_field(ks[1], cfgs["temp"]),
+        "static_fine": init_static_field(ks[2], cfgs["static_fine"]),
+        "temp_fine": init_temporal_field(ks[3], cfgs["temp_fine"]),
+    }
+    r, s = 4, 33
+    hp = tiny_hp(img_sample_size=r, depth_samples_coarse=s,
+                 depth_samples_fine=8, use_pallas=True)
+    batch = {
+        "origins": jnp.full((r, 3), jnp.asarray([4.5, 0.0, 0.0])),
+        "directions": jax.random.normal(ks[4], (r, 3)) * 0.02
+        + jnp.asarray([-1.0, 0.0, 0.0]),
+        "pixels": jnp.full((r,), 2.1),
+        "weights": jnp.ones((r,)),
+        "phases": jax.random.randint(ks[5], (r,), 0, 10),
+        "initial_intensities": jnp.full((r,), 2.16),
+    }
+    z = linspace_depths(3.6, 5.4, s)
+    step = jnp.asarray(11)
+    windows = {
+        "static": field_window(cfgs["static"], step),
+        "temp": field_window(cfgs["temp"], step),
+    }
+    rng = jax.random.PRNGKey(9)
+    out_p = composite_forward(params, batch, z, windows, cfgs, hp, rng=rng)
+    hp_x = dataclasses.replace(hp, use_pallas=False)
+    out_x = composite_forward(params, batch, z, windows, cfgs, hp_x, rng=rng)
+    assert "pix_fine" in out_p
+    for k in ("pix_coarse", "pix_fine", "static_sigma_fine"):
+        np.testing.assert_allclose(
+            np.asarray(out_p[k]), np.asarray(out_x[k]), rtol=2e-5, atol=1e-7,
+            err_msg=k,
+        )

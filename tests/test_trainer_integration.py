@@ -231,13 +231,15 @@ def test_resolve_pallas_support_downgrades_gracefully():
     assert not out.use_pallas and not out.use_fused_loss
     assert any("envelope" in str(x.message) for x in w)
 
-    # fine configs count: the hierarchical pass rides the fused path too
+    # unsupported FINE configs keep the coarse pass fused (the forward
+    # gates per-pass); only a warning about the fine fallback fires
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         out = resolve_pallas_support(
             hp, {"static": ok, "temp": ok, "static_fine": small}
         )
-    assert not out.use_pallas
+    assert out.use_pallas
+    assert any("fine" in str(x.message) for x in w)
 
     # single-config (static trainer) form
     assert resolve_pallas_support(hp, ok) is hp
