@@ -175,7 +175,13 @@ def _pack_common(params):
     bo = jnp.zeros((GEOM_ROWS, 1), jnp.float32).at[0, 0].set(
         params["out"].get("b", jnp.zeros(1))[0]
     )
-    return wh, bh, wo, bo
+    # wo row 0 as a COLUMN [WIDTH, 1]: the backward's dh = wo^T @ g with a
+    # row-0-only cotangent is an outer product, not a matmul — a K=8 MXU
+    # pass costs the same column stream as a full K=128 one, so the kernel
+    # computes dh as woT * g[0] on the VPU instead. Built directly from the
+    # params (no transpose op) so Mosaic never sees a layout change.
+    woT = jnp.zeros((WIDTH, 1), jnp.float32).at[:, 0].set(params["out"]["w"][:, 0])
+    return wh, bh, wo, bo, woT
 
 
 def _pack_static(params, cfg: FieldConfig, window):
@@ -187,9 +193,10 @@ def _pack_static(params, cfg: FieldConfig, window):
         w1[:enc_width].T
     )
     b1 = params["early"][0].get("b", jnp.zeros(WIDTH))[:, None]
-    wh, bh, wo, bo = _pack_common(params)
+    wh, bh, wo, bo, woT = _pack_common(params)
     return {"F": F, "phase": phase, "wm": jax.lax.stop_gradient(wm),
-            "w1": w1t, "b1": b1, "wh": wh, "bh": bh, "wo": wo, "bo": bo}
+            "w1": w1t, "b1": b1, "wh": wh, "bh": bh, "wo": wo, "bo": bo,
+            "woT": woT}
 
 
 def _pack_temporal(params, cfg: FieldConfig, window):
@@ -205,10 +212,10 @@ def _pack_temporal(params, cfg: FieldConfig, window):
         w1[enc_width : enc_width + d].T
     )
     b1 = params["early"][0].get("b", jnp.zeros(WIDTH))[:, None]
-    wh, bh, wo, bo = _pack_common(params)
+    wh, bh, wo, bo, woT = _pack_common(params)
     return {"F": F, "phase": phase, "wm": jax.lax.stop_gradient(wm),
             "w1": w1t, "w1l": w1l, "b1": b1, "wh": wh, "bh": bh,
-            "wo": wo, "bo": bo}
+            "wo": wo, "bo": bo, "woT": woT}
 
 
 # ---------------------------------------------------------------------------
@@ -308,8 +315,8 @@ def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None,
 
 def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
                 geom_ref, lat_ref,
-                fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
-                ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
+                fs, phs, wms, w1s, b1s, whs, bhs, wos, bos, woTs,
+                ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot, woTt,
                 out_s, out_t):
     geom = geom_ref[:]
     enc_s, enc_t = _both_encodings(
@@ -329,7 +336,7 @@ def _fwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
 
 
 def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
-               dtype=jnp.float32):
+               dtype=jnp.float32, woT=None):
     """Backprop one field on a tile. ``g``: [8, T] output cotangent
     (row 0 carries the signal).
 
@@ -338,7 +345,13 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
     halves the residual VMEM held live across the in-kernel loss
     computation, which is what bounds the viable tile size (16 MB VMEM/core
     — at tile 2048 the full residual set of both fields overflows and
-    Mosaic loses its pipelining headroom)."""
+    Mosaic loses its pipelining headroom).
+
+    ``woT``: the output row as a [WIDTH, 1] column. When given, the
+    output-layer input-gradient dh = wo^T @ g collapses to the exact outer
+    product woT * g[0] (g has a single nonzero row) — a VPU broadcast
+    instead of a K=8 MXU pass that costs the same column stream as a full
+    K=128 matmul. Bitwise-identical in f32 (single-term sums don't round)."""
     cT = (((1,), (1,)), ((), ()))  # contract along points T
     cF = (((0,), (0,)), ((), ()))  # contract along the out-feature axis
     h_of = (lambda l: hs[l]) if hs is not None else (
@@ -348,7 +361,13 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
     hL = h_of(n_hidden)
     dwo = _dotg(g, hL, cT, dtype)  # [8, 128]
     dbo = jnp.sum(g, axis=1, keepdims=True)
-    dh = _dotg(wo, g, cF, dtype)  # [128, T]
+    if woT is not None:
+        # same operand-cast semantics as the matmul it replaces: operands
+        # in ``dtype``, product accumulated in f32
+        dh = (woT.astype(dtype).astype(jnp.float32)
+              * g[0:1, :].astype(dtype).astype(jnp.float32))  # [128, T]
+    else:
+        dh = _dotg(wo, g, cF, dtype)  # [128, T]
     dwh = []
     dbh = []
     for l in range(n_hidden - 1, -1, -1):
@@ -375,8 +394,8 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
 
 def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
                 geom_ref, lat_ref,
-                fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
-                ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
+                fs, phs, wms, w1s, b1s, whs, bhs, wos, bos, woTs,
+                ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot, woTt,
                 gs_ref, gt_ref,
                 dlat_ref,
                 dw1s_ref, db1s_ref, dwhs_ref, dbhs_ref, dwos_ref, dbos_ref,
@@ -407,7 +426,7 @@ def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     _, pres_s, hs_s = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:],
                                    wos[:], bos[:], dtype=dtype)
     g_s = _field_bwd(g_s_full, enc_s, pres_s, hs_s, whs[:], wos[:],
-                     dtype=dtype)
+                     dtype=dtype, woT=woTs[:])
     dw1s_ref[:] += g_s["w1"]
     db1s_ref[:] += g_s["b1"]
     if n_hidden_s:
@@ -423,7 +442,7 @@ def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     )
     g_t = _field_bwd(
         g_t_full, enc_t, pres_t, hs_t, wht[:], wot[:], lat=lat,
-        w1l=w1lt[:], dtype=dtype,
+        w1l=w1lt[:], dtype=dtype, woT=woTt[:],
     )
     dw1t_ref[:] += g_t["w1"]
     dw1lt_ref[:] += g_t["w1l"]
@@ -459,7 +478,7 @@ def _vec_tiled(tile):
 
 def _pack_specs(pack, with_latent):
     keys = ["F", "phase", "wm", "w1"] + (["w1l"] if with_latent else []) + [
-        "b1", "wh", "bh", "wo", "bo"
+        "b1", "wh", "bh", "wo", "bo", "woT"
     ]
     return [_rep(pack[k].shape) for k in keys], [pack[k] for k in keys]
 
@@ -582,12 +601,18 @@ def _fused_core_bwd(n_hidden_s, n_hidden_t, tile, dtype_name, share_enc,
     )(geom, lat, *s_vals, *t_vals, g_s, g_t)
 
     zero = jnp.zeros_like
+    # woT gets a ZERO cotangent: it is the same parameter as wo's row 0,
+    # used only as a backward-pass constant — dL/dwo is fully carried by
+    # the "wo" entry (dwo = g @ hL^T), so routing anything through woT
+    # would double-count.
     ds_pack = {"F": zero(s_pack["F"]), "phase": zero(s_pack["phase"]),
                "wm": zero(s_pack["wm"]), "w1": dw1s, "b1": db1s,
-               "wh": dwhs, "bh": dbhs, "wo": dwos, "bo": dbos}
+               "wh": dwhs, "bh": dbhs, "wo": dwos, "bo": dbos,
+               "woT": zero(s_pack["woT"])}
     dt_pack = {"F": zero(t_pack["F"]), "phase": zero(t_pack["phase"]),
                "wm": zero(t_pack["wm"]), "w1": dw1t, "w1l": dw1lt,
-               "b1": db1t, "wh": dwht, "bh": dbht, "wo": dwot, "bo": dbot}
+               "b1": db1t, "wh": dwht, "bh": dbht, "wo": dwot, "bo": dbot,
+               "woT": zero(t_pack["woT"])}
     return jnp.zeros_like(geom), dlat, ds_pack, dt_pack
 
 
@@ -692,7 +717,7 @@ def _cast_weight_packs(pack):
     stay f32. The cast sits outside the custom-vjp boundary, so AD maps the
     f32 gradients back automatically."""
     out = dict(pack)
-    for k in ("w1", "w1l", "wh", "wo"):
+    for k in ("w1", "w1l", "wh", "wo", "woT"):
         if k in out:
             out[k] = out[k].astype(jnp.bfloat16)
     return out

@@ -83,6 +83,49 @@ def _act_sigma(raw, activation: str):
     return a * 1e-2
 
 
+def _seg_sum_impl(vec_kt, seg):
+    """[k, T] -> [k, T]: each sample holds its ray's segment sum (per row).
+
+    Per-ray sums are ONE thin matmul contracting over T.
+    Precision.HIGHEST is load-bearing there: the default TPU matmul
+    precision feeds the MXU bf16 operands, which truncates the
+    Beer-Lambert render sums enough to shift the pixel loss by ~1e-3
+    relative — caught by bench.py's hardware gate (CPU interpret mode
+    computes true f32 and cannot see it).
+
+    The broadcast BACK to samples is NOT a matmul: seg's rows partition
+    the tile, so every output element has exactly one contributing term —
+    an unrolled select-FMA over the rt rays is exact in f32 and keeps a
+    K=rt HIGHEST matmul (multiple full-length MXU column streams) off the
+    critical path."""
+    s = jax.lax.dot_general(vec_kt, seg, (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)  # [k, rt]
+    rt = seg.shape[0]
+    out = s[:, 0:1] * seg[0:1, :]
+    for r_i in range(1, rt):
+        out = out + s[:, r_i : r_i + 1] * seg[r_i : r_i + 1, :]
+    return out
+
+
+@jax.custom_vjp
+def _seg_sum(vec_kt, seg):
+    return _seg_sum_impl(vec_kt, seg)
+
+
+def _seg_sum_fwd(vec_kt, seg):
+    return _seg_sum_impl(vec_kt, seg), seg
+
+
+def _seg_sum_bwd(seg, g):
+    # seg_sum's matrix (seg^T seg) is symmetric -> the op is self-adjoint,
+    # so the transpose reuses the same efficient (matmul + select-FMA)
+    # form instead of AD's two extra HIGHEST matmuls.
+    return _seg_sum_impl(g, seg), jnp.zeros_like(seg)
+
+
+_seg_sum.defvjp(_seg_sum_fwd, _seg_sum_bwd)
+
+
 def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
                seg, lw, hp_tuple, n_rays_total, s_valid, hull_row):
     """Per-tile partial of the TOTAL training loss, plus metric partials.
@@ -105,19 +148,7 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
     R = n_rays_total
 
     def seg_sum(vec_kt):
-        """[k, T] -> [k, T]: each sample holds its ray's segment sum
-        (per row).
-
-        Precision.HIGHEST is load-bearing: the default TPU matmul
-        precision feeds the MXU bf16 operands, which truncates the
-        Beer-Lambert render sums enough to shift the pixel loss by ~1e-3
-        relative — caught by bench.py's hardware gate (CPU interpret mode
-        computes true f32 and cannot see it). These are thin [rt, T]
-        matmuls; the 3-pass f32 cost is negligible."""
-        s = jax.lax.dot_general(seg, vec_kt, (((1,), (1,)), ((), ())),
-                                precision=jax.lax.Precision.HIGHEST)
-        return jax.lax.dot_general(s, seg, (((0,), (0,)), ((), ())),
-                                   precision=jax.lax.Precision.HIGHEST)
+        return _seg_sum(vec_kt, seg)
 
     # STACKED-ROW layout: the static/dynamic streams ride as rows 0/1 of
     # [2, T] arrays, and all four entropy logarithms collapse into ONE
@@ -203,8 +234,8 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
                   rt, s_pad, n_rays_total, s_valid, hp_tuple,
                   geom_ref, lat_tab_ref,
                   dists_ref, occl_ref, valid_ref, first_ref, seg_ref, lw_ref,
-                  fs, phs, wms, w1s, b1s, whs, bhs, wos, bos,
-                  ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot,
+                  fs, phs, wms, w1s, b1s, whs, bhs, wos, bos, woTs,
+                  ft, pht, wmt, w1t, w1lt, b1t, wht, bht, wot, bot, woTt,
                   terms_ref, dlat_tab_ref,
                   dw1s_ref, db1s_ref, dwhs_ref, dbhs_ref, dwos_ref, dbos_ref,
                   dw1t_ref, dw1lt_ref, db1t_ref, dwht_ref, dbht_ref,
@@ -248,10 +279,17 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
         jnp.int32, (n_phases, tile_t), 0
     ).astype(jnp.float32)
     onehot = (phase_iota == phase_row).astype(jnp.float32)  # [P, T]
-    lat = jax.lax.dot_general(
-        lat_tab_ref[:], onehot, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [LAT_ROWS, T]
+    # the GATHER is an unrolled select-FMA over the P phases: each sample
+    # matches exactly one phase, so the sum has a single nonzero term —
+    # exact in f32 and pure VPU, where the indicator MATMUL (K=P at
+    # HIGHEST) costs multiple full-length MXU column streams. The adjoint
+    # below keeps the matmul form: it contracts over T (K=T — efficient)
+    # and genuinely sums thousands of terms.
+    lat_tab = lat_tab_ref[:]
+    lat = lat_tab[:, 0:1] * onehot[0:1, :]
+    for p_i in range(1, n_phases):
+        lat = lat + lat_tab[:, p_i : p_i + 1] * onehot[p_i : p_i + 1, :]
+    # [LAT_ROWS, T]
 
     o_s, pres_s, _ = ff._mlp_forward(
         enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:], bos[:], dtype=dtype
@@ -302,7 +340,7 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     g_t_full = jnp.where(row == 0, g_raw_t[None, :], 0.0)
 
     g_s = ff._field_bwd(g_s_full, enc_s, pres_s, None, whs[:], wos[:],
-                        dtype=dtype)
+                        dtype=dtype, woT=woTs[:])
     dw1s_ref[:] += g_s["w1"]
     db1s_ref[:] += g_s["b1"]
     if n_hidden_s:
@@ -312,7 +350,7 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     dbos_ref[:] += g_s["bo"]
 
     g_t = ff._field_bwd(g_t_full, enc_t, pres_t, None, wht[:], wot[:],
-                        lat=lat, w1l=w1lt[:], dtype=dtype)
+                        lat=lat, w1l=w1lt[:], dtype=dtype, woT=woTt[:])
     dw1t_ref[:] += g_t["w1"]
     dw1lt_ref[:] += g_t["w1l"]
     db1t_ref[:] += g_t["b1"]
@@ -550,12 +588,16 @@ def fused_train_loss_and_grads(
      dw1t, dw1lt, db1t, dwht, dbht, dwot, dbot) = outs
 
     zero = jnp.zeros_like
+    # woT is wo's row 0 re-laid-out as a backward-pass constant; its
+    # cotangent stays zero — dL/dwo is fully carried by the "wo" entry
     ds_pack = {"F": zero(s_pack["F"]), "phase": zero(s_pack["phase"]),
                "wm": zero(s_pack["wm"]), "w1": dw1s, "b1": db1s,
-               "wh": dwhs, "bh": dbhs, "wo": dwos, "bo": dbos}
+               "wh": dwhs, "bh": dbhs, "wo": dwos, "bo": dbos,
+               "woT": zero(s_pack["woT"])}
     dt_pack = {"F": zero(t_pack["F"]), "phase": zero(t_pack["phase"]),
                "wm": zero(t_pack["wm"]), "w1": dw1t, "w1l": dw1lt,
-               "b1": db1t, "wh": dwht, "bh": dbht, "wo": dwot, "bo": dbot}
+               "b1": db1t, "wh": dwht, "bh": dbht, "wo": dwot, "bo": dbot,
+               "woT": zero(t_pack["woT"])}
 
     grads_s = s_pack_vjp(ds_pack)[0]
     grads_t = t_pack_vjp(dt_pack)[0]
