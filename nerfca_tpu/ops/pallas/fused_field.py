@@ -340,12 +340,13 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
     """Backprop one field on a tile. ``g``: [8, T] output cotangent
     (row 0 carries the signal).
 
-    ``hs`` may be ``None``: the post-ReLU activations are then recomputed
-    from the pre-activations (one ``max`` per layer — VPU-trivial). This
-    halves the residual VMEM held live across the in-kernel loss
-    computation, which is what bounds the viable tile size (16 MB VMEM/core
-    — at tile 2048 the full residual set of both fields overflows and
-    Mosaic loses its pipelining headroom).
+    Residuals: ``hs`` (post-ReLU activations) is the ONLY per-layer array
+    this backward needs — the ReLU masks use ``h > 0``, which equals
+    ``pre > 0`` exactly (ReLU(x) > 0 iff x > 0), so the pre-activations
+    are dead after the forward and never held across the in-kernel loss
+    computation (residual VMEM bounds the viable tile size). ``pres`` is
+    accepted for the legacy recompute path: when ``hs`` is None the
+    activations are rebuilt from ``pres`` with one ``max`` per layer.
 
     ``woT``: the output row as a [WIDTH, 1] column. When given, the
     output-layer input-gradient dh = wo^T @ g collapses to the exact outer
@@ -354,9 +355,9 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
     K=128 matmul. Bitwise-identical in f32 (single-term sums don't round)."""
     cT = (((1,), (1,)), ((), ()))  # contract along points T
     cF = (((0,), (0,)), ((), ()))  # contract along the out-feature axis
-    h_of = (lambda l: hs[l]) if hs is not None else (
-        lambda l: jnp.maximum(pres[l], 0.0)
-    )
+    if hs is None:
+        hs = [jnp.maximum(p, 0.0) for p in pres]
+    h_of = lambda l: hs[l]  # noqa: E731
     n_hidden = wh.shape[0]
     hL = h_of(n_hidden)
     dwo = _dotg(g, hL, cT, dtype)  # [8, 128]
@@ -371,11 +372,12 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
     dwh = []
     dbh = []
     for l in range(n_hidden - 1, -1, -1):
-        dpre = dh * (pres[l + 1] > 0)
+        # ReLU mask from the stored activation: h > 0 iff pre > 0 (exact)
+        dpre = dh * (hs[l + 1] > 0)
         dwh.append(_dotg(dpre, h_of(l), cT, dtype))  # [128, 128]
         dbh.append(jnp.sum(dpre, axis=1, keepdims=True))
         dh = _dotg(wh[l], dpre, cF, dtype)
-    dpre1 = dh * (pres[0] > 0)
+    dpre1 = dh * (hs[0] > 0)
     dw1 = _dotg(dpre1, enc, cT, dtype)  # [128, rows]
     rows = enc.shape[0]
     if rows < WIDTH:
@@ -423,9 +425,9 @@ def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     )
 
     # static field: recompute forward, then backprop
-    _, pres_s, hs_s = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:],
-                                   wos[:], bos[:], dtype=dtype)
-    g_s = _field_bwd(g_s_full, enc_s, pres_s, hs_s, whs[:], wos[:],
+    _, _, hs_s = _mlp_forward(enc_s, w1s[:], b1s[:], whs[:], bhs[:],
+                              wos[:], bos[:], dtype=dtype)
+    g_s = _field_bwd(g_s_full, enc_s, None, hs_s, whs[:], wos[:],
                      dtype=dtype, woT=woTs[:])
     dw1s_ref[:] += g_s["w1"]
     db1s_ref[:] += g_s["b1"]
@@ -436,12 +438,12 @@ def _bwd_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     dbos_ref[:] += g_s["bo"]
 
     # temporal field
-    _, pres_t, hs_t = _mlp_forward(
+    _, _, hs_t = _mlp_forward(
         enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:], lat=lat,
         w1l=w1lt[:], dtype=dtype,
     )
     g_t = _field_bwd(
-        g_t_full, enc_t, pres_t, hs_t, wht[:], wot[:], lat=lat,
+        g_t_full, enc_t, None, hs_t, wht[:], wot[:], lat=lat,
         w1l=w1lt[:], dtype=dtype, woT=woTt[:],
     )
     dw1t_ref[:] += g_t["w1"]

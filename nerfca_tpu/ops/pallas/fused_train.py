@@ -291,10 +291,10 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
         lat = lat + lat_tab[:, p_i : p_i + 1] * onehot[p_i : p_i + 1, :]
     # [LAT_ROWS, T]
 
-    o_s, pres_s, _ = ff._mlp_forward(
+    o_s, _, hs_s = ff._mlp_forward(
         enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:], bos[:], dtype=dtype
     )
-    o_t, pres_t, _ = ff._mlp_forward(
+    o_t, _, hs_t = ff._mlp_forward(
         enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:],
         lat=lat, w1l=w1lt[:], dtype=dtype,
     )
@@ -332,14 +332,16 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     terms_ref[:] = terms
 
     # MLP backprop with the in-kernel cotangents (row 0 carries the
-    # signal). hs=None: post-ReLU activations recompute from the
-    # pre-activations instead of being held live across the loss VJP —
-    # halves residual VMEM, which is what gates the tile size.
+    # signal). Residuals are the post-ReLU activations ONLY (one [128, T]
+    # per layer held live across the loss VJP — residual VMEM gates the
+    # tile size); the ReLU masks derive from them exactly (h > 0 iff
+    # pre > 0), so the pre-activations die at the end of the forward and
+    # nothing is recomputed in the backward.
     row = jax.lax.broadcasted_iota(jnp.int32, (GEOM_ROWS, 1), 0)
     g_s_full = jnp.where(row == 0, g_raw_s[None, :], 0.0)
     g_t_full = jnp.where(row == 0, g_raw_t[None, :], 0.0)
 
-    g_s = ff._field_bwd(g_s_full, enc_s, pres_s, None, whs[:], wos[:],
+    g_s = ff._field_bwd(g_s_full, enc_s, None, hs_s, whs[:], wos[:],
                         dtype=dtype, woT=woTs[:])
     dw1s_ref[:] += g_s["w1"]
     db1s_ref[:] += g_s["b1"]
@@ -349,7 +351,7 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     dwos_ref[:] += g_s["wo"]
     dbos_ref[:] += g_s["bo"]
 
-    g_t = ff._field_bwd(g_t_full, enc_t, pres_t, None, wht[:], wot[:],
+    g_t = ff._field_bwd(g_t_full, enc_t, None, hs_t, wht[:], wot[:],
                         lat=lat, w1l=w1lt[:], dtype=dtype, woT=woTt[:])
     dw1t_ref[:] += g_t["w1"]
     dw1lt_ref[:] += g_t["w1l"]
