@@ -274,3 +274,56 @@ def test_fused_train_occl_front_only():
         scale = max(float(jnp.abs(b).max()), 1e-10)
         err = float(jnp.abs(a - b).max()) / scale
         assert err < 5e-4, (jax.tree_util.keystr(path), err, scale)
+
+
+def test_seg_sum_matches_naive_matmul_form():
+    """_seg_sum (matmul per-ray sums + select-FMA broadcast-back, with a
+    self-adjoint custom_vjp) must match the naive segment-matrix form
+    vec @ seg^T @ seg in both value and VJP — the broadcast-back has
+    exactly one contributing term per sample, so agreement is exact."""
+    from nerfca_tpu.ops.pallas.fused_train import _seg_sum
+
+    rng = np.random.default_rng(7)
+    rt, s_pad, k = 4, 16, 2
+    tile = rt * s_pad
+    seg = jnp.asarray(np.repeat(np.eye(rt, dtype=np.float32), s_pad, axis=1))
+    vec = jnp.asarray(rng.standard_normal((k, tile)), jnp.float32)
+
+    def naive(v):
+        s = jnp.einsum("rt,kt->kr", seg, v)
+        return jnp.einsum("kr,rt->kt", s, seg)
+
+    out = _seg_sum(vec, seg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(naive(vec)),
+                               rtol=1e-6, atol=1e-6)
+
+    # VJP: the op is linear and self-adjoint (seg^T seg symmetric)
+    ct = jnp.asarray(rng.standard_normal((k, tile)), jnp.float32)
+    _, vjp = jax.vjp(lambda v: _seg_sum(v, seg), vec)
+    _, vjp_naive = jax.vjp(naive, vec)
+    np.testing.assert_allclose(np.asarray(vjp(ct)[0]),
+                               np.asarray(vjp_naive(ct)[0]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_field_bwd_dh_outer_product_matches_matmul():
+    """The woT outer-product dh must equal the K=8 matmul it replaced when
+    the output cotangent has a single nonzero row (single-term sums are
+    exact in f32)."""
+    rng = np.random.default_rng(3)
+    t = 64
+    wo = jnp.asarray(
+        np.concatenate([rng.standard_normal((1, ff.WIDTH)),
+                        np.zeros((ff.GEOM_ROWS - 1, ff.WIDTH))],
+                       axis=0), jnp.float32)
+    woT = wo[0:1, :].T
+    g0 = rng.standard_normal((1, t)).astype(np.float32)
+    g = jnp.asarray(np.concatenate(
+        [g0, np.zeros((ff.GEOM_ROWS - 1, t), np.float32)], axis=0))
+
+    dh_matmul = jax.lax.dot_general(
+        wo, g, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    dh_outer = woT * g[0:1, :]
+    np.testing.assert_array_equal(np.asarray(dh_outer),
+                                  np.asarray(dh_matmul))
