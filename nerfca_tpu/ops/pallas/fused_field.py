@@ -293,22 +293,31 @@ def _both_encodings(geom, fs, phs, wms, ft, pht, wmt, share_enc,
 
 
 def _mlp_forward(enc, w1, b1, wh, bh, wo, bo, lat=None, w1l=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, store_dtype=None):
     """Returns (out [8, T], pre-activations list, h list) for backprop.
 
     ``enc`` may be row-restricted ([rows, T], rows <= 128); the first-layer
-    weight is sliced to match (MXU pads the contraction internally)."""
+    weight is sliced to match (MXU pads the contraction internally).
+
+    ``store_dtype``: dtype for the RESIDUAL ``hs`` list (e.g. bf16 to
+    halve the backward's live VMEM). The forward chain itself always runs
+    at ``dtype`` matmul semantics — only the stored copies are cast, which
+    matches what the dW matmuls' default MXU precision would do to their
+    operands anyway."""
     pre1 = _dot(w1[:, : enc.shape[0]], enc, dtype) + b1
     if lat is not None:
         pre1 = pre1 + _dot(w1l, lat, dtype)
+    store = (lambda x: x) if store_dtype is None else (
+        lambda x: x.astype(store_dtype)
+    )
     pres = [pre1]
     h = jnp.maximum(pre1, 0.0)
-    hs = [h]
+    hs = [store(h)]
     for l in range(wh.shape[0]):
         pre = _dot(wh[l], h, dtype) + bh[l]
         pres.append(pre)
         h = jnp.maximum(pre, 0.0)
-        hs.append(h)
+        hs.append(store(h))
     out = _dot(wo, h, dtype) + bo
     return out, pres, hs
 

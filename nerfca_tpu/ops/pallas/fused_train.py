@@ -230,7 +230,8 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
     return loss_partial, aux
 
 
-def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
+def _train_kernel(n_hidden_s, n_hidden_t, dtype, store_dtype, share_enc,
+                  spec_s, spec_t,
                   rt, s_pad, n_rays_total, s_valid, hp_tuple,
                   geom_ref, lat_tab_ref,
                   dists_ref, occl_ref, valid_ref, first_ref, seg_ref, lw_ref,
@@ -292,11 +293,12 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, share_enc, spec_s, spec_t,
     # [LAT_ROWS, T]
 
     o_s, _, hs_s = ff._mlp_forward(
-        enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:], bos[:], dtype=dtype
+        enc_s, w1s[:], b1s[:], whs[:], bhs[:], wos[:], bos[:], dtype=dtype,
+        store_dtype=store_dtype,
     )
     o_t, _, hs_t = ff._mlp_forward(
         enc_t, w1t[:], b1t[:], wht[:], bht[:], wot[:], bot[:],
-        lat=lat, w1l=w1lt[:], dtype=dtype,
+        lat=lat, w1l=w1lt[:], dtype=dtype, store_dtype=store_dtype,
     )
     raw_s = o_s[0:1, :]  # [1, T] row-vector layout throughout the loss
     raw_t = o_t[0:1, :]
@@ -510,6 +512,7 @@ def fused_train_loss_and_grads(
         _train_kernel,
         cfg_s.num_early_layers, cfg_t.num_early_layers,
         ff._dtype_from_name(hp.compute_dtype),
+        jnp.bfloat16 if getattr(hp, "pallas_bf16_residuals", False) else None,
         ff._share_enc(cfg_s, cfg_t), ff._enc_spec(cfg_s), ff._enc_spec(cfg_t),
         rt, s_pad, total_rays if total_rays is not None else r, s, hp_tuple,
     )

@@ -208,6 +208,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas_vmem_mb", type=int, default=0,
                    help="scoped-VMEM ceiling for the fused kernel in MiB "
                         "(0 = compiler default 16; tiles >= 4096 need ~32)")
+    p.add_argument("--pallas_bf16_residuals", type=lambda x: str(x).lower() == "true",
+                   default=False,
+                   help="store fused-kernel backward residuals in bf16 "
+                        "(halves residual VMEM; dW matmuls already see "
+                        "bf16 operands at default TPU precision)")
     p.add_argument("--steps_per_chunk", type=int, default=None,
                    help="train steps per jitted scan chunk (default: log_every)")
     p.add_argument("--resume_from", type=str, default=None,

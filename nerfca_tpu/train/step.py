@@ -115,6 +115,13 @@ class CompositeHParams:
     # 128 MiB of VMEM, so raising this trades pipelining headroom for
     # bigger tiles
     pallas_vmem_mb: int = 0
+    # store the fused kernel's backward residuals (post-ReLU activations)
+    # in bf16: halves residual VMEM — the quantity that gates tile size
+    # and Mosaic's pipelining headroom. Near-neutral numerically on
+    # hardware: the MXU's default f32-matmul precision already feeds the
+    # dW matmuls bf16 operands; only the ReLU sign masks see the cast
+    # (sign flips require |pre| below bf16 subnormals).
+    pallas_bf16_residuals: bool = False
     # monolithic train-gradient kernel (render + losses + backprop in one
     # Pallas pass; coarse path only — see ops/pallas/fused_train.py)
     use_fused_loss: bool = False

@@ -141,6 +141,7 @@ def composite_hparams_from_args(args) -> CompositeHParams:
         use_pallas=args.use_pallas,
         pallas_tile=args.pallas_tile,
         pallas_vmem_mb=args.pallas_vmem_mb,
+        pallas_bf16_residuals=args.pallas_bf16_residuals,
         use_fused_loss=args.use_fused_loss,
     )
 

@@ -327,3 +327,44 @@ def test_field_bwd_dh_outer_product_matches_matmul():
     dh_outer = woT * g[0:1, :]
     np.testing.assert_array_equal(np.asarray(dh_outer),
                                   np.asarray(dh_matmul))
+
+
+def test_fused_train_bf16_residuals_close():
+    """--pallas_bf16_residuals stores the backward residuals (post-ReLU
+    activations) in bf16. Loss/forward are unchanged (exact); gradients
+    shift only by residual quantization in the dW matmuls — on hardware
+    the MXU's default precision feeds those matmuls bf16 operands anyway,
+    so the mode is near-neutral there."""
+    import dataclasses
+
+    params, cfgs, hp, batch, z = _setup()
+    step = jnp.asarray(57)
+    w = loss_weights(step, hp)
+    lw = jnp.stack([w["favor_s"], w["dynamic_entro"], w["occl"], w["l1"]])
+    window = free_window_mask(4, 57, 100, 1)
+
+    args = (params["static"], params["temp"],
+            batch["origins"], batch["directions"], z, batch["phases"],
+            batch["pixels"], batch["weights"], batch["initial_intensities"],
+            cfgs["static"], cfgs["temp"], window, window, lw)
+
+    loss32, _, gs32, gt32 = fused_train_loss_and_grads(*args, hp)
+    hp16 = dataclasses.replace(hp, pallas_bf16_residuals=True)
+    loss16, _, gs16, gt16 = fused_train_loss_and_grads(*args, hp16)
+
+    # the forward never reads the stored copies -> loss is exact
+    np.testing.assert_array_equal(np.asarray(loss16), np.asarray(loss32))
+
+    for g32, g16 in ((gs32, gs16), (gt32, gt16)):
+        flat32 = jax.tree_util.tree_flatten_with_path(g32)[0]
+        flat16 = dict(
+            (jax.tree_util.keystr(p), v)
+            for p, v in jax.tree_util.tree_flatten_with_path(g16)[0]
+        )
+        gmax = max(float(jnp.abs(v).max()) for _, v in flat32)
+        for path, a in flat32:
+            b = flat16[jax.tree_util.keystr(path)]
+            scale = max(float(jnp.abs(a).max()), 1e-2 * gmax, 1e-10)
+            err = float(jnp.abs(a - b).max()) / scale
+            # bf16 has ~3 decimal digits; residuals appear once per matmul
+            assert err < 2e-2, (jax.tree_util.keystr(path), err, scale)
