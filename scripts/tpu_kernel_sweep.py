@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5,
-            fused: bool = False, vmem_mb: int = 0, dtype: str = "float32"):
+            fused: bool = False, vmem_mb: int = 0, dtype: str = "float32",
+            bf16_res: bool = False):
     import dataclasses
 
     import jax
@@ -36,7 +37,8 @@ def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5,
     params, cfgs, hp = _flagship_setup()
     hp = dataclasses.replace(hp, use_pallas=True, pallas_tile=tile,
                              use_fused_loss=fused, pallas_vmem_mb=vmem_mb,
-                             compute_dtype=dtype)
+                             compute_dtype=dtype,
+                             pallas_bf16_residuals=bf16_res)
     tx = make_optimizer(1e-3, 0.01, 150000)
     state = TrainState(
         params=params,
@@ -75,6 +77,7 @@ def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5,
     ms = dt / (timed_chunks * steps_per_chunk) * 1e3
     rps = hp.img_sample_size / (ms / 1e3)
     print(json.dumps({"tile": tile, "vmem_mb": vmem_mb, "dtype": dtype,
+                      "bf16_res": bf16_res,
                       "ms_per_step": round(ms, 3),
                       "rays_per_sec": round(rps)}))
     return ms
@@ -88,6 +91,8 @@ def main():
     if '--bf16' in argv:
         dtype = "bfloat16"
         argv = [a for a in argv if a != '--bf16']
+    bf16_res = '--bf16res' in argv
+    argv = [a for a in argv if a != '--bf16res']
     vmem_mb = 0
     if '--vmem' in argv:
         i = argv.index('--vmem')
@@ -97,7 +102,8 @@ def main():
     results = {}
     for t in tiles:
         try:
-            results[t] = measure(t, fused=fused, vmem_mb=vmem_mb, dtype=dtype)
+            results[t] = measure(t, fused=fused, vmem_mb=vmem_mb, dtype=dtype,
+                                 bf16_res=bf16_res)
         except Exception as e:  # keep sweeping other tiles
             print(f"  tile {t} FAILED: {type(e).__name__}: {e}")
     print("SUMMARY", json.dumps({str(k): round(v, 3) for k, v in results.items()}))
