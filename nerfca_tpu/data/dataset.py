@@ -66,10 +66,20 @@ def _experiment_tag(args) -> str:
         args, "experiment_name", None
     ):
         return args.experiment_name
-    return (
+    tag = (
         f"{float(args.data_limited_range)}-{float(args.data_step_size)}"
         f"-{args.data_time_range_start}-{args.data_time_range_end}"
     )
+    # the selection view is part of the dataset's IDENTITY: it reorders
+    # test-*.json (selection view first — the in-loop/checkpoint-best
+    # metric keys on frame 0) and excludes itself from evaluate.json.
+    # Without it in the tag, a folder built without --selection_view
+    # satisfies the existence check in prepare_composite and the run
+    # silently selects checkpoints on a view INSIDE the reported eval set.
+    sel = _parse_selection_view(getattr(args, "selection_view", None))
+    if sel is not None:
+        tag += f"-sel{sel[0]:g}-{sel[1]:g}"
+    return tag
 
 
 def dataset_paths(args, root: str = "data") -> DatasetPaths:
@@ -407,19 +417,21 @@ def build_dataset(
         json.dump({"frames": train_frames}, fp)
     with open(paths.test, "w") as fp:
         json.dump({"frames": test_frames}, fp)
-    if not os.path.exists(paths.evaluate):
-        # evaluate.json excludes the dedicated selection view (if any): the
-        # trainer's checkpoint-best retention keys on the FIRST test frame,
-        # so the reported held-out mean must not contain it.
-        sel = _parse_selection_view(getattr(args, "selection_view", None))
-        eval_frames = test_frames
-        if sel is not None:
-            eval_frames = [
-                f for f in test_frames
-                if (float(f["theta"]), float(f["phi"])) != sel
-            ]
-        with open(paths.evaluate, "w") as fp:
-            json.dump({"frames": eval_frames}, fp)
+    # evaluate.json excludes the dedicated selection view (if any): the
+    # trainer's checkpoint-best retention keys on the FIRST test frame, so
+    # the reported held-out mean must not contain it. ALWAYS rewritten by a
+    # build — it is derived from the same test_frames, and preserving a
+    # pre-existing file can leave a newly-added selection view inside the
+    # reported set (the eval-selection leak the protocol exists to close).
+    sel = _parse_selection_view(getattr(args, "selection_view", None))
+    eval_frames = test_frames
+    if sel is not None:
+        eval_frames = [
+            f for f in test_frames
+            if (float(f["theta"]), float(f["phi"])) != sel
+        ]
+    with open(paths.evaluate, "w") as fp:
+        json.dump({"frames": eval_frames}, fp)
     with open(paths.srcmatrices, "w") as fp:
         json.dump(src_matrices, fp)
 

@@ -223,3 +223,21 @@ def hull_gate_rays(hull: MotionHull, origins, directions, z):
     y = origins[:, 1:2] + directions[:, 1:2] * zz
     w = origins[:, 2:3] + directions[:, 2:3] * zz
     return hull_gate(hull, x, y, w)
+
+
+def hull_from_args(args, train_frames, info):
+    """The ONE place that maps the config surface (--use_motion_hull +
+    hull_* knobs) to a built hull. Training, offline eval, and the render
+    CLI must all gate the dynamic field with the SAME carved volume — each
+    re-spelling the knob defaults is how train/eval divergence starts.
+    Returns None when the flag is off or no variance maps exist."""
+    if not getattr(args, "use_motion_hull", False):
+        return None
+    return build_motion_hull(
+        train_frames,
+        info,
+        res=getattr(args, "hull_res", 96),
+        thresh=getattr(args, "hull_thresh", 0.02),
+        dilate=getattr(args, "hull_dilate", 3),
+        sigma=getattr(args, "hull_sigma", 1.0),
+    )

@@ -78,7 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="'theta,phi' of a dedicated model-selection test view; it is "
         "placed FIRST in test-*.json (the in-loop metric / checkpoint-best "
         "view) and excluded from evaluate.json so reported held-out means "
-        "stay disjoint from model selection (no reference analog)",
+        "stay disjoint from model selection (no reference analog). For a "
+        "negative theta use the = form (--selection_view=-30,0): argparse "
+        "treats a leading '-' in a separate token as an option string",
     )
 
     p.add_argument("--only_prepare_data", type=_bool, default=False)
@@ -208,7 +210,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas_vmem_mb", type=int, default=0,
                    help="scoped-VMEM ceiling for the fused kernel in MiB "
                         "(0 = compiler default 16; tiles >= 4096 need ~32)")
-    p.add_argument("--pallas_bf16_residuals", type=lambda x: str(x).lower() == "true",
+    p.add_argument("--pallas_bf16_residuals", type=_bool,
                    default=False,
                    help="store fused-kernel backward residuals in bf16 "
                         "(halves residual VMEM; dW matmuls already see "

@@ -68,20 +68,11 @@ def render_views(args, views: list[tuple[float, float, int]]) -> list[dict]:
     depth_values = linspace_depths(
         info["near_thresh"], info["far_thresh"], args.depth_samples_per_ray_coarse
     )
-    hull = None
-    if getattr(args, "use_motion_hull", False):
-        from nerfca_tpu.ops.hull import build_motion_hull
+    from nerfca_tpu.ops.hull import hull_from_args
 
-        with open(paths.train) as f:
-            train_frames = json.load(f)["frames"]
-        hull = build_motion_hull(
-            train_frames,
-            info,
-            res=getattr(args, "hull_res", 96),
-            thresh=getattr(args, "hull_thresh", 0.02),
-            dilate=getattr(args, "hull_dilate", 3),
-            sigma=getattr(args, "hull_sigma", 1.0),
-        )
+    with open(paths.train) as f:
+        train_frames = json.load(f)["frames"]
+    hull = hull_from_args(args, train_frames, info)
 
     out_dir = os.path.join(args.resume_from, "renders")
     os.makedirs(out_dir, exist_ok=True)

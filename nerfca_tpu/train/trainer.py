@@ -324,18 +324,10 @@ def prepare_composite(args, mesh=None):
         )
         _CHUNK_CACHE[cache_key] = (train_step, chunk_fn)
 
-    hull = None
-    if getattr(args, "use_motion_hull", False):
-        from nerfca_tpu.ops.hull import build_motion_hull
+    from nerfca_tpu.ops.hull import hull_from_args
 
-        hull = build_motion_hull(
-            data.train_frames,
-            info,
-            res=getattr(args, "hull_res", 96),
-            thresh=getattr(args, "hull_thresh", 0.02),
-            dilate=getattr(args, "hull_dilate", 3),
-            sigma=getattr(args, "hull_sigma", 1.0),
-        )
+    hull = hull_from_args(args, data.train_frames, info)
+    if getattr(args, "use_motion_hull", False):
         if hull is None:
             print(
                 "use_motion_hull: no variance maps on disk — training "

@@ -67,6 +67,7 @@ def main():
         except Exception as e:  # record, don't abort the ledger write
             print(f"eval failed: {e}")
     print(json.dumps(row), flush=True)
+    os.makedirs("cases/SYNTH", exist_ok=True)
     with open("cases/SYNTH/best4view_long.json", "w") as f:
         json.dump([row], f, indent=2)
 

@@ -222,16 +222,9 @@ ARMS = {
         "synth_smooth_sigma": "1.5",
         "use_motion_hull": "true",
     },
-    "fov_hc_hull": {
-        "data_name": "SYNTH-FOVHC",
-        "synth_vessel_extent": "0.22",
-        "synth_rib_scale": "0.35",
-        "synth_smooth_sigma": "1.5",
-        "synth_lca_val": "2.4",
-        "synth_vessel_radius": "0.065",
-        "synth_motion_scale": "1.5",
-        "use_motion_hull": "true",
-    },
+    # NB: the batch-6 "fov_hc_hull" spec lives in the batch-8 section
+    # below (same config + save_every=500) — a duplicate dict key here
+    # would silently shadow it.
     # original (hard) background + in-frustum vessel: attributes gains
     # between background softening and vessel geometry
     "fov_hard": {
@@ -477,6 +470,7 @@ def main():
     # merge with prior batches at the same n (the ledger used to be
     # clobbered per invocation; arm rows are keyed by name)
     out_path = f"cases/SYNTH/decomp_study2-{n}.json"
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
     results = []
     if os.path.isfile(out_path):
         results = [

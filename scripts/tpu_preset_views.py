@@ -80,6 +80,7 @@ def main():
                 print(f"eval failed: {e}")
         results.append(row)
         print(json.dumps(row), flush=True)
+        os.makedirs("cases/SYNTH", exist_ok=True)
         with open("cases/SYNTH/preset_views.json", "w") as f:
             json.dump(results, f, indent=2)
 

@@ -310,6 +310,37 @@ def test_selection_view_protocol(tmp_path):
     assert len(test_frames) == 10
 
 
+def test_selection_view_is_dataset_identity(tmp_path):
+    """A folder built WITHOUT --selection_view must not satisfy a run that
+    asks for one: the selection view is part of the dataset tag (distinct
+    train/test json names -> prepare re-builds) and a re-build REWRITES
+    evaluate.json so the new selection view never lingers in the reported
+    set (code-review r3 finding: stale-folder eval-selection leak)."""
+    plain = synth_args(tmp_path)
+    paths_plain = build_dataset(plain, str(tmp_path / "data"),
+                                projector_samples=32)
+
+    sel = synth_args(tmp_path, selection_view="15,0")
+    paths_sel = dataset_paths(sel, str(tmp_path / "data"))
+    # different artifact identity: the existence check cannot be satisfied
+    # by the plain build
+    assert paths_sel.train != paths_plain.train
+    assert paths_sel.test != paths_plain.test
+    assert not os.path.isfile(paths_sel.train)
+
+    # the plain build already wrote evaluate.json; the selection build
+    # must overwrite it with the selection view excluded
+    assert os.path.isfile(paths_plain.evaluate)
+    paths_sel = build_dataset(sel, str(tmp_path / "data"),
+                              projector_samples=32)
+    with open(paths_sel.evaluate) as f:
+        eval_frames = json.load(f)["frames"]
+    assert all((f["theta"], f["phi"]) != (15.0, 0.0) for f in eval_frames)
+    with open(paths_sel.test) as f:
+        test_frames = json.load(f)["frames"]
+    assert (test_frames[0]["theta"], test_frames[0]["phi"]) == (15.0, 0.0)
+
+
 def test_experiment_json_view_list(tmp_path):
     """use_experiment_name loads the curated per-phase view/phase json
     (general_helpers.py:70-78) instead of the grid/preset selection."""
