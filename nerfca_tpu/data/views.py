@@ -90,9 +90,13 @@ def select_views(
         )
 
     if selection_view is not None:
-        test_angles = np.insert(
-            test_angles, 0, np.asarray(selection_view, dtype=float), axis=0
-        )
+        sel = np.asarray(selection_view, dtype=float)
+        # drop any existing test row matching the selection view BEFORE
+        # prepending it: a duplicated angle would render twice in
+        # test-*.json AND be filtered out of evaluate.json entirely by
+        # build_dataset's selection-angle exclusion (every copy matches)
+        keep = ~np.all(test_angles == sel[None, :], axis=1)
+        test_angles = np.insert(test_angles[keep], 0, sel, axis=0)
 
     phases = np.arange(time_range_start, time_range_end) / 10
     return [

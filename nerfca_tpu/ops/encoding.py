@@ -56,7 +56,7 @@ def free_window_alpha(
     """
     ptr = basis * step / decay_steps + window_start
     alpha = jnp.where(step < decay_steps, ptr, float(basis + 1))
-    if window_max > 0:
+    if 0 < window_max < basis:  # a cap at >= basis bands never binds
         alpha = jnp.minimum(alpha, float(window_max))
     return alpha
 
@@ -78,7 +78,12 @@ def free_window_mask(
     """
     bands = jnp.arange(basis, dtype=jnp.float32)
     ptr = basis * step / decay_steps + window_start
-    if window_max > 0:
+    # Take the capped branch only when the cap BINDS (window_max < basis —
+    # the mask is saturated for every band once ptr >= basis, so a larger
+    # cap changes nothing). A non-binding cap must fall through to the
+    # reference's exact pin-to-ones path after decay_steps, not park the
+    # mask at the 1-1e-8 clip forever.
+    if 0 < window_max < basis:
         ptr = jnp.minimum(ptr, float(window_max))
         return jnp.clip(jnp.clip(ptr - bands, 0.0, 1.0), 1e-8, 1.0 - 1e-8)
     mask = jnp.clip(jnp.clip(ptr - bands, 0.0, 1.0), 1e-8, 1.0 - 1e-8)

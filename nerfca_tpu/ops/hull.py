@@ -54,14 +54,17 @@ class MotionHull(NamedTuple):
 
 
 def _project_to_pixels(pts: np.ndarray, theta: float, phi: float,
-                       info: dict) -> tuple[np.ndarray, np.ndarray]:
+                       larm: float, info: dict) -> tuple[np.ndarray, np.ndarray]:
     """World points [N, 3] -> continuous detector pixel indices (a, b) for
     one C-arm view — the exact inverse of ``geometry.rays.detector_rays``:
     ``local = R^T (x - s)`` and ``u/DSD = local_x / local_z``, then the
-    half-pixel-centered detector grid inverted for indices."""
+    half-pixel-centered detector grid inverted for indices. ``larm`` is the
+    frame's L-arm angle, threaded so the inverse always matches the ray
+    pose (``carm_rotation`` currently ignores it for reference parity, but
+    hardcoding 0 here would silently diverge if that ever changes)."""
     from nerfca_tpu.geometry.rotations import carm_source_matrix
 
-    pose = carm_source_matrix(float(theta), float(phi), 0.0,
+    pose = carm_source_matrix(float(theta), float(phi), float(larm),
                               dso=float(info["DSO"]))
     rot = pose[:3, :3]
     src = pose[:3, 3]
@@ -80,11 +83,14 @@ def _project_to_pixels(pts: np.ndarray, theta: float, phi: float,
 
 def _bilinear_01(img: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Bilinear sample of ``img[a, b]`` at continuous indices; out-of-image
-    points sample 0 (no motion evidence outside the detector)."""
-    w, h = img.shape
-    inb = (a >= 0) & (a <= w - 1) & (b >= 0) & (b <= h - 1)
-    ac = np.clip(a, 0, w - 1 - 1e-6)
-    bc = np.clip(b, 0, h - 1 - 1e-6)
+    points sample 0 (no motion evidence outside the detector). ``img`` must
+    be indexed [a, b] with ``a`` along detector u — ``build_motion_hull``
+    asserts a square detector, where the loader's transpose makes the two
+    axis orders coincide in shape."""
+    na, nb = img.shape
+    inb = (a >= 0) & (a <= na - 1) & (b >= 0) & (b <= nb - 1)
+    ac = np.clip(a, 0, na - 1 - 1e-6)
+    bc = np.clip(b, 0, nb - 1 - 1e-6)
     ia = np.floor(ac).astype(np.int64)
     ib = np.floor(bc).astype(np.int64)
     fa = ac - ia
@@ -122,17 +128,25 @@ def build_motion_hull(
     """
     views: dict[tuple, str] = {}
     for row in train_frames:
-        key = (float(row["theta"]), float(row["phi"]))
+        key = (float(row["theta"]), float(row["phi"]),
+               float(row.get("larm", 0.0)))
         views.setdefault(key, row["weighted_file_path"])
     maps = []
     w, h = (int(x) for x in info["nDetector"])
-    for (theta, phi), path in views.items():
+    # the variance-map orientation transform below (reshape + transpose)
+    # only keeps [a, b] = (detector u, v) indexing when the detector is
+    # square; carving a rectangular detector would silently swap the axes
+    assert w == h, (
+        f"build_motion_hull requires a square detector, got nDetector="
+        f"{info['nDetector']}"
+    )
+    for (theta, phi, larm), path in views.items():
         if not os.path.isfile(path):
             return None
         # the loader's exact orientation transform (loader.py:73-77):
         # [a, b] indexes detector u then v, matching detector_rays
         vmap = np.load(path).reshape(w, h).T.astype(np.float64) - 1.0
-        maps.append((theta, phi, vmap))
+        maps.append((theta, phi, larm, vmap))
     if not maps:
         return None
 
@@ -152,8 +166,8 @@ def build_motion_hull(
     pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
 
     hull = None
-    for theta, phi, vmap in maps:
-        a, b = _project_to_pixels(pts, theta, phi, info)
+    for theta, phi, larm, vmap in maps:
+        a, b = _project_to_pixels(pts, theta, phi, larm, info)
         val = _bilinear_01(vmap, a, b)
         hull = val if hull is None else np.minimum(hull, val)
     hull = hull.reshape(res, res, res)
@@ -225,6 +239,48 @@ def hull_gate_rays(hull: MotionHull, origins, directions, z):
     return hull_gate(hull, x, y, w)
 
 
+# The config-surface knobs that determine the carved hull (and therefore
+# the model's effective dynamic density). Persisted into checkpoint
+# run_metadata so offline eval gates EXACTLY as training did, instead of
+# reconstructing the gate from whatever CLI flags eval happened to get.
+HULL_ARG_DEFAULTS = {
+    "use_motion_hull": False,
+    "hull_res": 96,
+    "hull_thresh": 0.02,
+    "hull_dilate": 3,
+    "hull_sigma": 1.0,
+}
+
+
+def hull_args_record(args) -> dict:
+    """The checkpoint-persisted record of the hull gating configuration."""
+    return {k: getattr(args, k, d) for k, d in HULL_ARG_DEFAULTS.items()}
+
+
+def apply_hull_args_record(args, record: dict) -> None:
+    """Default eval args from a checkpoint's persisted hull record.
+
+    The stored record WINS (evaluating a hull-trained checkpoint without
+    the gate silently scores a different model); a mismatch against the
+    CLI-provided values is surfaced as a warning so a deliberate override
+    is at least a visible decision."""
+    import warnings
+
+    for k, default in HULL_ARG_DEFAULTS.items():
+        if k not in record:
+            continue
+        stored = type(default)(record[k])
+        current = getattr(args, k, None)
+        if current is not None and current != stored:
+            warnings.warn(
+                f"checkpoint was trained with {k}={stored} but eval args "
+                f"say {k}={current}; using the checkpoint's value (the "
+                f"gate is part of the model)",
+                stacklevel=2,
+            )
+        setattr(args, k, stored)
+
+
 def hull_from_args(args, train_frames, info):
     """The ONE place that maps the config surface (--use_motion_hull +
     hull_* knobs) to a built hull. Training, offline eval, and the render
@@ -236,8 +292,8 @@ def hull_from_args(args, train_frames, info):
     return build_motion_hull(
         train_frames,
         info,
-        res=getattr(args, "hull_res", 96),
-        thresh=getattr(args, "hull_thresh", 0.02),
-        dilate=getattr(args, "hull_dilate", 3),
-        sigma=getattr(args, "hull_sigma", 1.0),
+        res=getattr(args, "hull_res", HULL_ARG_DEFAULTS["hull_res"]),
+        thresh=getattr(args, "hull_thresh", HULL_ARG_DEFAULTS["hull_thresh"]),
+        dilate=getattr(args, "hull_dilate", HULL_ARG_DEFAULTS["hull_dilate"]),
+        sigma=getattr(args, "hull_sigma", HULL_ARG_DEFAULTS["hull_sigma"]),
     )

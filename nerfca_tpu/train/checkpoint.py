@@ -113,6 +113,12 @@ class CheckpointManager:
         self.maximize = maximize
         self.best_metric: Optional[float] = None
         self.best_step: Optional[int] = None
+        # Legacy dirs (symlink, no json): the best checkpoint exists but
+        # its metric may be unrecoverable. While it is unknown the link is
+        # NON-REPLACEABLE — letting the first post-resume metric win would
+        # repoint checkpoint-best to a checkpoint that may be worse than
+        # the pre-resume peak (and prune the real best).
+        self._best_locked = False
         # A resumed run reuses the log dir: seed best_step/best_metric from
         # the persisted record so _prune never deletes the directory the
         # existing checkpoint-best symlink points to.
@@ -129,7 +135,18 @@ class CheckpointManager:
         elif os.path.islink(best_link):
             target = os.path.basename(os.readlink(best_link))
             if target.startswith("checkpoint-") and target[11:].isdigit():
-                self.best_step = int(target[11:])  # metric unknown: keep it
+                self.best_step = int(target[11:])
+                # newer checkpoints embed their selection metric in their
+                # own metadata — recover it so best tracking resumes exactly
+                try:
+                    with open(os.path.join(
+                        self.root, target, "metadata.json"
+                    )) as f:
+                        m = json.load(f)["run"]["selection_metric"]
+                    self.best_metric = float(m)
+                except (OSError, KeyError, TypeError, ValueError,
+                        json.JSONDecodeError):
+                    self._best_locked = True  # metric unknown: pin the link
 
     def _link(self, name: str, target_dir: str) -> None:
         path = os.path.join(self.root, name)
@@ -151,10 +168,25 @@ class CheckpointManager:
         os.makedirs(self.root, exist_ok=True)
         step = int(np.asarray(state.step))
         directory = os.path.join(self.root, f"checkpoint-{step}")
+        if metric is not None:
+            # embed the selection metric in the checkpoint's own metadata
+            # so a later resume can recover best_metric even if the
+            # side-car checkpoint-best.json is lost
+            run_metadata = dict(run_metadata or {})
+            run_metadata["selection_metric"] = float(metric)
         save_checkpoint(directory, state, cfgs, run_metadata)
         self._link("checkpoint", directory)
 
-        if metric is not None and (
+        if self._best_locked and metric is not None:
+            import warnings
+
+            warnings.warn(
+                "checkpoint-best points at a legacy checkpoint with an "
+                "unknown metric; keeping it pinned (delete the stale "
+                "checkpoint-best symlink to re-enable best tracking)",
+                stacklevel=2,
+            )  # warnings dedup repeats this once per process
+        elif metric is not None and (
             self.best_metric is None
             or (metric > self.best_metric) == self.maximize
         ):

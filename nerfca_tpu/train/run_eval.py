@@ -80,8 +80,18 @@ def evaluate_checkpoint(args, write_images: bool = True) -> dict:
             args.depth_samples_per_ray_fine,
         )
 
-    # eval must gate the dynamic field exactly as training did
-    from nerfca_tpu.ops.hull import hull_from_args
+    # eval must gate the dynamic field exactly as training did: the hull
+    # configuration is read from the checkpoint's persisted run record
+    # (stored record wins; CLI mismatches warn — see apply_hull_args_record)
+    from nerfca_tpu.ops.hull import apply_hull_args_record, hull_from_args
+
+    try:
+        with open(os.path.join(args.resume_from, "metadata.json")) as f:
+            hull_record = json.load(f).get("run", {}).get("hull")
+    except (OSError, json.JSONDecodeError):
+        hull_record = None
+    if hull_record is not None:
+        apply_hull_args_record(args, hull_record)
 
     with open(paths.train) as f:
         train_frames = json.load(f)["frames"]

@@ -601,10 +601,18 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
         # tier, image PSNR decides. Encoded as a single scalar by docking
         # non-separated checkpoints 1000 (PSNRs live in [0, ~50], so
         # tiers never interleave) — see _selection_metric.
+        from nerfca_tpu.ops.hull import hull_args_record
+
         ckpt_mgr.save(
             state,
             cfgs,
-            run_metadata={"data_name": args.data_name, "step": int(state.step)},
+            run_metadata={
+                "data_name": args.data_name,
+                "step": int(state.step),
+                # the hull gate is part of the model: offline eval rebuilds
+                # it from this record, not from its own CLI defaults
+                "hull": hull_args_record(args),
+            },
             metric=_selection_metric(),
         )
 

@@ -142,3 +142,64 @@ def test_checkpoint_manager_resume_preserves_best(tmp_path):
 
     assert os.readlink(os.path.join(tmp_path, "checkpoint-best")) == "checkpoint-1"
     assert os.path.isdir(os.path.join(tmp_path, "checkpoint-1"))  # not pruned
+
+
+def test_checkpoint_manager_legacy_symlink_metric_recovery(tmp_path):
+    """Legacy dirs (best symlink, no checkpoint-best.json): the metric is
+    recovered from the checkpoint's own embedded selection_metric, so best
+    tracking resumes exactly (ADVICE r3: the first post-resume save must
+    not unconditionally displace the pre-resume peak)."""
+    import json
+    import os
+
+    from nerfca_tpu.train.checkpoint import CheckpointManager
+
+    cfgs = tiny_cfgs()
+    tx = make_optimizer(1e-3, 0.01, 100)
+    state = make_state(cfgs, tx)
+
+    mgr = CheckpointManager(str(tmp_path), keep_last_n=2)
+    for i, m in enumerate([10.0, 30.0]):  # best at step 1
+        mgr.save(state._replace(step=jnp.asarray(i, jnp.int32)), cfgs, metric=m)
+    os.remove(tmp_path / "checkpoint-best.json")  # simulate a legacy dir
+
+    mgr2 = CheckpointManager(str(tmp_path), keep_last_n=2)
+    assert mgr2.best_step == 1 and mgr2.best_metric == 30.0  # recovered
+    mgr2.save(state._replace(step=jnp.asarray(2, jnp.int32)), cfgs, metric=5.0)
+    assert os.readlink(os.path.join(tmp_path, "checkpoint-best")) == "checkpoint-1"
+    mgr2.save(state._replace(step=jnp.asarray(3, jnp.int32)), cfgs, metric=31.0)
+    assert os.readlink(os.path.join(tmp_path, "checkpoint-best")) == "checkpoint-3"
+
+
+def test_checkpoint_manager_legacy_unknown_metric_pins_best(tmp_path):
+    """When the legacy best's metric is UNRECOVERABLE the link is pinned:
+    a post-resume metric never repoints (or prunes) it."""
+    import json
+    import os
+    import warnings
+
+    from nerfca_tpu.train.checkpoint import CheckpointManager
+
+    cfgs = tiny_cfgs()
+    tx = make_optimizer(1e-3, 0.01, 100)
+    state = make_state(cfgs, tx)
+
+    mgr = CheckpointManager(str(tmp_path), keep_last_n=1)
+    for i, m in enumerate([10.0, 30.0]):
+        mgr.save(state._replace(step=jnp.asarray(i, jnp.int32)), cfgs, metric=m)
+    os.remove(tmp_path / "checkpoint-best.json")
+    # strip the embedded metric too (a truly ancient checkpoint)
+    meta_path = tmp_path / "checkpoint-1" / "metadata.json"
+    meta = json.load(open(meta_path))
+    meta.get("run", {}).pop("selection_metric", None)
+    json.dump(meta, open(meta_path, "w"))
+
+    mgr2 = CheckpointManager(str(tmp_path), keep_last_n=1)
+    assert mgr2.best_step == 1 and mgr2.best_metric is None
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        mgr2.save(state._replace(step=jnp.asarray(2, jnp.int32)), cfgs,
+                  metric=99.0)
+        assert any("pinned" in str(w.message) for w in rec)
+    assert os.readlink(os.path.join(tmp_path, "checkpoint-best")) == "checkpoint-1"
+    assert os.path.isdir(tmp_path / "checkpoint-1")  # never pruned

@@ -72,6 +72,26 @@ def test_views_presets_2_3():
         select_views(60, 120, numb_angles=7)
 
 
+def test_views_selection_view_dedup():
+    """A selection view that coincides with an existing test angle must
+    replace it, not duplicate it — a duplicated angle would render twice
+    in test-*.json and be dropped entirely from evaluate.json by
+    build_dataset's selection-angle exclusion."""
+    sel = tuple(CLINICAL_TEST_ANGLES[2])  # (90, 0), an existing test view
+    phases = select_views(60, 120, numb_angles=4, selection_view=sel)
+    tv = phases[0]["test_viewpoints"]
+    assert tv.shape == (len(CLINICAL_TEST_ANGLES), 2)  # no growth
+    np.testing.assert_array_equal(tv[0], sel)  # selection view first
+    matches = np.all(tv == np.asarray(sel, float)[None, :], axis=1)
+    assert matches.sum() == 1  # exactly one copy
+
+    # disjoint selection views still prepend
+    phases = select_views(60, 120, numb_angles=4, selection_view=(0, 0))
+    assert phases[0]["test_viewpoints"].shape == (
+        len(CLINICAL_TEST_ANGLES) + 1, 2
+    )
+
+
 def test_views_test_grid_override():
     phases = select_views(
         60, 120, numb_angles=4, limited_range_test=180, step_size_test=90

@@ -51,6 +51,28 @@ def test_free_window_alpha():
     assert float(free_window_alpha(12, 150000, 150000, 1)) == 13.0  # basis + 1
 
 
+def test_free_window_cap_nonbinding_is_exact_reference():
+    """A cap at >= basis bands never binds: the mask must follow the
+    reference's exact pin-to-ones path after decay_steps instead of
+    parking at the 1-1e-8 clip forever (ADVICE r3)."""
+    basis, decay = 12, 1000
+    for wm in (float(basis), float(basis) + 1, 100.0):
+        # identical to uncapped at every step, including exact ones post-decay
+        for step in (0, 500, 999, 1000, 5000):
+            np.testing.assert_array_equal(
+                np.asarray(free_window_mask(basis, step, decay, 1, window_max=wm)),
+                np.asarray(free_window_mask(basis, step, decay, 1)),
+                err_msg=f"wm={wm} step={step}",
+            )
+        assert (
+            np.asarray(free_window_mask(basis, 2 * decay, decay, 1, window_max=wm))
+            == 1.0
+        ).all()
+        assert float(
+            free_window_alpha(basis, 2 * decay, decay, 1, window_max=wm)
+        ) == basis + 1
+
+
 def test_free_window_cap():
     basis, decay = 12, 1000
     # before the cap bites, capped == uncapped

@@ -36,7 +36,7 @@ def test_project_to_pixels_inverts_detector_rays():
         d = np.asarray(dirs).reshape(-1, 3)
         for t in (3.8, 4.5, 5.1):
             pts = o + t * d
-            a, b = _project_to_pixels(pts, theta, phi, info)
+            a, b = _project_to_pixels(pts, theta, phi, 0.0, info)
             w, h = (int(x) for x in info["nDetector"])
             aa, bb = np.meshgrid(np.arange(w), np.arange(h), indexing="ij")
             np.testing.assert_allclose(a, aa.reshape(-1), atol=1e-3)
@@ -230,3 +230,56 @@ def test_train_composite_with_hull_runs(tmp_path):
     assert out["setup"]["hull"] is not None
     rec = json.load(open(f"{out['log_dir']}/config.json"))
     assert rec  # config written
+
+
+def test_hull_args_record_roundtrip_and_override_warning():
+    """The checkpoint-persisted hull record restores the training-time
+    gating configuration at eval time; CLI mismatches warn but the stored
+    record wins (ADVICE r3: the gate is part of the model)."""
+    import warnings
+    from types import SimpleNamespace
+
+    from nerfca_tpu.ops.hull import apply_hull_args_record, hull_args_record
+
+    trained = SimpleNamespace(
+        use_motion_hull=True, hull_res=64, hull_thresh=0.05,
+        hull_dilate=1, hull_sigma=0.0,
+    )
+    rec = hull_args_record(trained)
+    assert rec == {
+        "use_motion_hull": True, "hull_res": 64, "hull_thresh": 0.05,
+        "hull_dilate": 1, "hull_sigma": 0.0,
+    }
+
+    # eval args at their CLI defaults (hull off) -> stored record wins + warns
+    eval_args = SimpleNamespace(
+        use_motion_hull=False, hull_res=96, hull_thresh=0.02,
+        hull_dilate=3, hull_sigma=1.0,
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        apply_hull_args_record(eval_args, rec)
+        assert any("use_motion_hull" in str(w.message) for w in caught)
+    assert eval_args.use_motion_hull is True
+    assert eval_args.hull_res == 64
+    assert eval_args.hull_sigma == 0.0
+
+    # matching args apply silently
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        apply_hull_args_record(eval_args, rec)
+        assert not caught
+
+
+def test_build_motion_hull_rejects_rectangular_detector():
+    import numpy as np
+    import pytest
+
+    from nerfca_tpu.ops.hull import build_motion_hull
+
+    info = {"nDetector": [64, 32]}
+    with pytest.raises(AssertionError, match="square"):
+        build_motion_hull(
+            [{"theta": 0.0, "phi": 0.0, "weighted_file_path": "x.npy"}],
+            info,
+        )
