@@ -100,8 +100,15 @@ def preprocess_ccta_volume(
     spacing: Sequence[float],
     rib_factor: float = 1.0,
     contrast_f: float = 0.05,
-) -> np.ndarray:
-    """One phase: arrays in, conditioned attenuation volume out."""
+    return_dyn: bool = False,
+):
+    """One phase: arrays in, conditioned attenuation volume out.
+
+    ``return_dyn=True`` additionally returns the conditioned VESSEL-ONLY
+    volume (the dynamic component's ground truth, analogous to the XCAT
+    pipeline's extracted artery volume ``preprocess/xcat.py:115-117``) —
+    resampled and conditioned identically to its appearance in the
+    composite volume."""
     raw = hounsfield_to_attenuation(raw)
 
     # isotropic resample by spacing (preprocess_ccta.py:58-62)
@@ -124,6 +131,11 @@ def preprocess_ccta_volume(
     vessel, cond_mask = condition_vessel(raw, lca_mask, contrast_f=contrast_f)
 
     full = np.where(cond_mask > 0, vessel, np.where(lca_mask > 0, vessel, raw))
+    if return_dyn:
+        dyn = np.where(
+            cond_mask > 0, vessel, np.where(lca_mask > 0, vessel, 0.0)
+        )
+        return full.astype(np.float32), dyn.astype(np.float32)
     return full.astype(np.float32)
 
 

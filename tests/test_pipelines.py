@@ -144,3 +144,57 @@ def test_normalize():
     assert (lo, hi) == (2.0, 4.0)
     z, _, _ = normalize(np.full(3, 5.0))
     np.testing.assert_allclose(z, 0)
+
+
+def test_ccta_surrogate_exercises_full_pipeline(tmp_path):
+    """The HU-space surrogate drives every array-level step of the CCTA
+    pipeline (HU->mu, resample-by-spacing, aorta flattening, EDT vessel
+    conditioning) and writes the dataset builder's volume contract
+    (VERDICT r3 item 6 groundwork)."""
+    import numpy as np
+
+    from nerfca_tpu.data.ccta import hounsfield_to_attenuation
+    from nerfca_tpu.data.ccta_surrogate import (
+        surrogate_ccta_arrays,
+        write_surrogate_case,
+    )
+
+    shape, spacing = (72, 72, 48), (3.6, 3.6, 6.0)
+    raw, lca, seg = surrogate_ccta_arrays(0.3, shape=shape, spacing=spacing)
+    assert raw.dtype == np.float32 and raw.shape == shape
+    assert raw.min() <= -900 and 300 <= raw.max() <= 1100  # HU-scaled
+    assert lca.sum() > 0
+    assert (seg == 51).sum() > 0 and (seg == 52).sum() > 0  # heart, aorta
+    assert ((seg >= 79) & (seg < 118)).sum() > 0  # ribs
+    # contrast-filled aorta brighter than heart BEFORE flattening
+    mu = hounsfield_to_attenuation(raw)
+    assert mu[seg == 52].mean() > mu[seg == 51].mean()
+
+    # the moving vessel is the ONLY phase-dependent structure by default
+    raw2, lca2, _ = surrogate_ccta_arrays(0.6, shape=shape, spacing=spacing)
+    union = (lca | lca2) > 0
+    np.testing.assert_array_equal(
+        np.where(union, 0, raw), np.where(union, 0, raw2)
+    )
+    assert (lca2 != lca).any()  # and it does move
+
+    # full contract write for two phases
+    write_surrogate_case(
+        str(tmp_path), phases=2, shape=shape, spacing=spacing, verbose=False
+    )
+    for p in (0, 1):
+        full = np.load(tmp_path / str(p) / "full_volume_tigre.npy")
+        dyn = np.load(tmp_path / str(p) / "dyn_volume_tigre.npy")
+        assert full.shape == dyn.shape
+        # resample by spacing actually changed the grid
+        assert full.shape != shape
+        assert (dyn > 0).sum() > 0
+        # the conditioned vessel is the brightest structure (clinical
+        # contrast), and dyn is exactly its appearance in the composite
+        assert np.isclose(float(dyn.max()), float(full.max()))
+        nz = dyn > 0
+        np.testing.assert_allclose(full[nz], dyn[nz])
+        # reference artifact names too (preprocess_ccta.py:127-147)
+        assert (tmp_path / str(p) / "full_volume.npy").exists()
+        assert (tmp_path / str(p) / "volume-shape.npy").exists()
+        assert (tmp_path / str(p) / "spacing.npy").exists()
