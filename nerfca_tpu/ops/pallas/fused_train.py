@@ -56,7 +56,7 @@ TERMS = 16  # padded term-accumulator rows
 
 # term indices in the accumulator
 (T_PIX, T_FAVOR, T_S_ENT, T_S_SIG, T_D_ENT, T_D_SIG, T_OCCL, T_L1, T_L2,
- T_BLENDW, T_SMAX, T_DMAX) = range(12)
+ T_BLENDW, T_SMAX, T_DMAX, T_HL1) = range(13)
 
 
 def fused_train_supported(cfg_s: FieldConfig, cfg_t: FieldConfig,
@@ -144,7 +144,7 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
     yields the global cotangents.
     """
     (activation, skewness, mask_thre, use_weighting, weighted_thresh,
-     clip_thr) = hp_tuple
+     clip_thr) = hp_tuple[:6]
     R = n_rays_total
 
     def seg_sum(vec_kt):
@@ -202,6 +202,20 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
     occl_partial = jnp.sum(sd[1:2, :] * occl_mask) / R
     l1_partial = jnp.sum(sd_s)
     l2_partial = jnp.sum(sd_s**2)
+    # hull-gated static L1 (framework extension, weight defaults to 0):
+    # penalize STATIC mass inside the motion hull — the territory carved
+    # for the dynamic vessel — pushing vessel attenuation into the dynamic
+    # field at low vessel contrast, where the pixel loss alone lets the
+    # static field absorb it. Mean-per-ray normalized (unlike the
+    # reference's sum-reduced L1: this term has no reference analog to
+    # stay parity with).
+    # has_hull is STATIC (hull-ness already changes the jit signature):
+    # without a hull the geometry row is all-ones and this would silently
+    # become a plain static L1 — the XLA path defines it as 0 instead.
+    has_hull = hp_tuple[6]
+    hl1_partial = (
+        jnp.sum(sd_s * hull_row) / R if has_hull else jnp.float32(0.0)
+    )
 
     loss_partial = (
         pix_partial
@@ -210,6 +224,7 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
         + lw[2] * occl_partial
         + lw[3] * l2_partial
         + lw[3] * l1_partial
+        + lw[4] * hl1_partial
     )
     aux = {
         "pix": pix_partial,
@@ -221,6 +236,7 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
         "occl": occl_partial,
         "l1": l1_partial,
         "l2": l2_partial,
+        "hl1": hl1_partial,
         "blendw": jnp.sum(blendw * valid) / (R * s_valid),
         # padded samples repeat the ray's last depth point, so the maxima
         # are unaffected by padding
@@ -325,7 +341,7 @@ def _train_kernel(n_hidden_s, n_hidden_t, dtype, store_dtype, share_enc,
     upd = jnp.stack(
         [aux["pix"], aux["favor"], aux["s_ent"], aux["s_sig"],
          aux["d_ent"], aux["d_sig"], aux["occl"], aux["l1"], aux["l2"],
-         aux["blendw"], zero, zero, zero, zero, zero, zero]
+         aux["blendw"], zero, zero, aux["hl1"], zero, zero, zero]
     )[:, None]
     terms = t + upd
     row = jax.lax.broadcasted_iota(jnp.int32, (TERMS, 1), 0)
@@ -504,9 +520,14 @@ def fused_train_loss_and_grads(
         float(hp.entro_mask_thre), bool(hp.entro_use_weighting),
         float(hp.entro_weighted_thresh),
         float(getattr(hp, "entro_clip_threshold", 1e-19)),
+        hull is not None,
     )
+    # [favor, dentro, occl, l1] or the 5-vector with the hull-gated static
+    # L1 appended; unset rows stay 0 (their terms drop out exactly)
     lw = jnp.zeros((8, 1), jnp.float32)
-    lw = lw.at[:4, 0].set(loss_weights_vec.astype(jnp.float32))
+    lw = lw.at[: loss_weights_vec.shape[0], 0].set(
+        loss_weights_vec.astype(jnp.float32)
+    )
 
     kernel = functools.partial(
         _train_kernel,
@@ -625,6 +646,7 @@ def fused_train_loss_and_grads(
         "blendw": terms[T_BLENDW, 0],
         "sigma_s_max": terms[T_SMAX, 0],
         "sigma_d_max": terms[T_DMAX, 0],
+        "hull_s_l1": terms[T_HL1, 0],
     }
     loss = (
         term_dict["pixel_loss"]
@@ -634,6 +656,8 @@ def fused_train_loss_and_grads(
         + loss_weights_vec[3] * term_dict["l2"]
         + loss_weights_vec[3] * term_dict["l1"]
     )
+    if loss_weights_vec.shape[0] > 4:
+        loss = loss + loss_weights_vec[4] * term_dict["hull_s_l1"]
     return loss, term_dict, grads_s, grads_t
 
 

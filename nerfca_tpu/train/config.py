@@ -159,6 +159,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--occl_weight_end", type=float, default=0.0)
     p.add_argument("--l1_weight_start", type=float, default=0.0)
     p.add_argument("--l1_weight_end", type=float, default=0.0)
+    p.add_argument("--hull_static_l1_weight_start", type=float, default=0.0,
+                   help="hull-gated static L1 schedule start (framework "
+                        "extension; penalizes static density inside the "
+                        "motion hull so low-contrast vessel mass lands in "
+                        "the dynamic field; requires --use_motion_hull)")
+    p.add_argument("--hull_static_l1_weight_end", type=float, default=0.0)
     p.add_argument("--hyperparam_decay_steps", type=int, default=100000)
 
     p.add_argument("--entro_mask_thre", type=float, default=1e-4)

@@ -151,6 +151,13 @@ def evaluate_checkpoint(args, write_images: bool = True) -> dict:
                 render["pix_temp"]
             ).reshape(w, h)
             row["dyn_psnr"] = evaluation.image_psnr(pred_dyn, gt_dyn)
+            # dyn_psnr over the whole frame rewards near-empty renders (the
+            # GT is mostly zero); the masked variant scores only where the
+            # vessel projects — read dyn_psnr ONLY alongside dyn_corr or
+            # dyn_psnr_masked
+            row["dyn_psnr_masked"] = evaluation.masked_region_psnr(
+                pred_dyn, gt_dyn
+            )
             dscale = float(gt_dyn.max() - gt_dyn.min()) or 1.0
             dlo = float(gt_dyn.min())
             row["dyn_ssim"] = evaluation.image_ssim(
@@ -197,6 +204,9 @@ def evaluate_checkpoint(args, write_images: bool = True) -> dict:
     dyn_rows = [s for s in scores if "dyn_psnr" in s]
     if dyn_rows:
         result["mean_dyn_psnr"] = float(np.mean([s["dyn_psnr"] for s in dyn_rows]))
+        result["mean_dyn_psnr_masked"] = float(
+            np.mean([s["dyn_psnr_masked"] for s in dyn_rows])
+        )
         result["mean_dyn_ssim"] = float(np.mean([s["dyn_ssim"] for s in dyn_rows]))
         result["mean_dyn_corr"] = float(np.mean([s["dyn_corr"] for s in dyn_rows]))
     with open(os.path.join(out_dir, "eval_scores.json"), "w") as f:

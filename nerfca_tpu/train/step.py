@@ -78,6 +78,14 @@ class CompositeHParams:
     occl_weight_end: float = 0.0
     l1_weight_start: float = 0.0
     l1_weight_end: float = 0.0
+    # hull-gated static L1 (framework extension, defaults off): per-ray
+    # mean of the STATIC field's line integral restricted to the motion
+    # hull. At low vessel contrast the pixel loss alone lets the static
+    # field absorb the vessel; penalizing static mass inside the hull
+    # (the territory carved FOR the dynamic field) pushes it back out.
+    # No-op when no hull is in use.
+    hull_static_l1_weight_start: float = 0.0
+    hull_static_l1_weight_end: float = 0.0
     hyperparam_decay_steps: int = 100000
     # freeze the static field's parameters from this step on (0 = never).
     # Collapse forensics (scripts/collapse_forensics.py): at 4 views the
@@ -326,6 +334,8 @@ def composite_forward(
         "static_raw_coarse": static_raw,
         "temp_raw_coarse": temp_raw,
     }
+    if temp_gate is not None:
+        out["temp_gate_coarse"] = temp_gate  # reused by the hull-gated L1
 
     if hp.depth_samples_fine > 0:
         # fine-sample weights from adjacent total-density differences
@@ -409,6 +419,8 @@ def schedule_from_hp(hp: CompositeHParams) -> dict:
         "occl_end": jnp.float32(hp.occl_weight_end),
         "l1_start": jnp.float32(hp.l1_weight_start),
         "l1_end": jnp.float32(hp.l1_weight_end),
+        "hl1_start": jnp.float32(hp.hull_static_l1_weight_start),
+        "hl1_end": jnp.float32(hp.hull_static_l1_weight_end),
         "decay_steps": jnp.float32(hp.hyperparam_decay_steps),
         "static_freeze": jnp.float32(hp.static_freeze_step),
     }
@@ -428,6 +440,7 @@ def weightless_hp(hp: CompositeHParams) -> CompositeHParams:
         dynamic_entro_weight_start=0.0, dynamic_entro_weight_end=0.0,
         occl_weight_start=0.0, occl_weight_end=0.0,
         l1_weight_start=0.0, l1_weight_end=0.0,
+        hull_static_l1_weight_start=0.0, hull_static_l1_weight_end=0.0,
         hyperparam_decay_steps=1,
         static_freeze_step=0,
         ray_jitter=0.0,  # train-time only; render graphs never read it
@@ -455,6 +468,9 @@ def loss_weights(step, hp: CompositeHParams, sched=None):
         ),
         "l1": linear_param_decay(
             step, sched["l1_start"], sched["l1_end"], sched["decay_steps"]
+        ),
+        "hull_static_l1": linear_param_decay(
+            step, sched["hl1_start"], sched["hl1_end"], sched["decay_steps"]
         ),
     }
 
@@ -499,8 +515,23 @@ def composite_loss_fn(
         occl_front_only=hp.occl_front_only,
     )
     loss = _regularized_loss(pixel_loss_c, losses, weights)
+    hull_s_l1 = jnp.float32(0.0)
+    if hull is not None:
+        # hull-gated static L1 (see CompositeHParams.hull_static_l1_*):
+        # mean over rays of the static line integral inside the hull
+        hull_s_l1 = jnp.mean(
+            jnp.sum(
+                fwd["static_sigma_coarse"]
+                * fwd["dists_coarse"]
+                * fwd["temp_gate_coarse"],
+                axis=-1,
+            )
+        )
+        loss = loss + weights["hull_static_l1"] * hull_s_l1
 
     metrics = {
+        "train_hull_s_l1": hull_s_l1,
+        "hull_static_l1_weight": weights["hull_static_l1"],
         "train_pixel_loss_coarse": pixel_loss_c,
         "train_blendw": losses.blendw_mean,
         "train_sigma_s_max": losses.sigma_s_max,
@@ -675,7 +706,7 @@ def _fused_loss_metrics_grads(params, batch, z, step, cfgs, hp, sched,
     weights = loss_weights(step, hp, sched)
     lw = jnp.stack(
         [weights["favor_s"], weights["dynamic_entro"], weights["occl"],
-         weights["l1"]]
+         weights["l1"], weights["hull_static_l1"]]
     )
     loss, terms, g_s, g_t = fused_fn(
         params["static"], params["temp"],
@@ -697,10 +728,12 @@ def _fused_loss_metrics_grads(params, batch, z, step, cfgs, hp, sched,
         "train_d_occl_loss": terms["occl"],
         "train_s_l1": terms["l1"],
         "train_s_l2": terms["l2"],
+        "train_hull_s_l1": terms["hull_s_l1"],
         "favor_s_weight": weights["favor_s"],
         "dynamic_entro_weight": weights["dynamic_entro"],
         "occl_weight": weights["occl"],
         "l1_weight": weights["l1"],
+        "hull_static_l1_weight": weights["hull_static_l1"],
         "train_static_windowed": window_alpha(cfgs["static"], step),
         "train_temp_windowed": window_alpha(cfgs["temp"], step),
         "train_loss": loss,

@@ -132,6 +132,7 @@ def eval_ckpt(n: int, ckpt: str, write_images: bool = False) -> dict:
         "mean_psnr": scores.get("mean_psnr"),
         "mean_ssim": scores.get("mean_ssim"),
         "mean_dyn_psnr": scores.get("mean_dyn_psnr"),
+        "mean_dyn_psnr_masked": scores.get("mean_dyn_psnr_masked"),
         "mean_dyn_corr": scores.get("mean_dyn_corr"),
         "per_view_angle": scores.get("per_view_angle"),
     }

@@ -124,6 +124,7 @@ def eval_ckpt(n, overrides, ckpt, write_images=False) -> dict:
         "mean_psnr": scores.get("mean_psnr"),
         "mean_ssim": scores.get("mean_ssim"),
         "mean_dyn_psnr": scores.get("mean_dyn_psnr"),
+        "mean_dyn_psnr_masked": scores.get("mean_dyn_psnr_masked"),
         "mean_dyn_corr": scores.get("mean_dyn_corr"),
     }
 

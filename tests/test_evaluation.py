@@ -97,3 +97,31 @@ def test_fine_eval_ignored_without_fine_params():
         depth_values_fine=z_fine,
     )
     assert "pix_fine" not in render
+
+
+def test_masked_region_psnr_punishes_empty_renders():
+    """The BENCH.md round-3 caveat: a near-empty dynamic render scores
+    >10 dB plain dyn_psnr against a mostly-zero artery GT; the masked
+    variant scores only where the vessel projects, so the empty render
+    drops while a correct render is unaffected."""
+    import numpy as np
+
+    from nerfca_tpu.train.evaluation import image_psnr, masked_region_psnr
+
+    gt = np.zeros((64, 64), np.float32)
+    gt[30:34, 10:50] = 1.0  # a thin bright vessel on empty background
+    empty = np.zeros_like(gt)
+    plain = image_psnr(empty, gt)
+    masked = masked_region_psnr(empty, gt)
+    assert plain > 10.0  # the weak metric rewards emptiness
+    assert masked < 5.0  # the masked one does not (dilated border
+    # pixels where the empty render is trivially right add ~0.3 dB)
+
+    good = gt + np.random.default_rng(0).normal(0, 0.01, gt.shape).astype(
+        np.float32
+    )
+    assert masked_region_psnr(good, gt) > 30.0
+
+    # degenerate GT falls back to plain PSNR
+    z = np.zeros_like(gt)
+    assert masked_region_psnr(empty, z) == image_psnr(empty, z)

@@ -283,3 +283,86 @@ def test_build_motion_hull_rejects_rectangular_detector():
             [{"theta": 0.0, "phi": 0.0, "weighted_file_path": "x.npy"}],
             info,
         )
+
+
+def test_hull_static_l1_fused_matches_unfused(monkeypatch):
+    """The hull-gated static L1 (framework extension, VERDICT r4 contrast
+    work): the fused kernel's 5th weight slot must reproduce the XLA
+    path's loss and grads, the term must BITE (loss differs from the
+    zero-weight loss), and without a hull it must vanish in both paths."""
+    import dataclasses
+
+    monkeypatch.setattr(ff, "_INTERPRET", True)
+    from tests.test_fused_train import _setup
+    from nerfca_tpu.ops.encoding import free_window_mask
+    from nerfca_tpu.ops.pallas.fused_train import fused_train_loss_and_grads
+    from nerfca_tpu.train.step import composite_loss_fn, loss_weights
+
+    params, cfgs, hp, batch, z = _setup()
+    hp = dataclasses.replace(
+        hp, hull_static_l1_weight_start=1e-3, hull_static_l1_weight_end=1e-3
+    )
+    key = jax.random.PRNGKey(11)
+    hull = MotionHull(
+        grid=0.2 + 0.8 * jax.random.uniform(key, (6, 6, 6)),
+        d_voxel=jnp.asarray([0.5, 0.5, 0.5]),
+        off=jnp.asarray([0.0, 0.0, 0.0]),
+    )
+    step = jnp.asarray(57)
+
+    def ref_loss(p, h):
+        return composite_loss_fn(p, batch, z, step, cfgs, hp, hull=h)
+
+    (ref_l, ref_m), ref_g = jax.value_and_grad(
+        ref_loss, has_aux=True
+    )(params, hull)
+    assert float(ref_m["train_hull_s_l1"]) > 0.0
+
+    # the term bites: zero-weight loss differs
+    hp0 = dataclasses.replace(
+        hp, hull_static_l1_weight_start=0.0, hull_static_l1_weight_end=0.0
+    )
+    l0, _ = composite_loss_fn(params, batch, z, step, cfgs, hp0, hull=hull)
+    assert not np.isclose(float(ref_l), float(l0))
+
+    w = loss_weights(step, hp)
+    lw = jnp.stack([w["favor_s"], w["dynamic_entro"], w["occl"], w["l1"],
+                    w["hull_static_l1"]])
+    window = free_window_mask(4, 57, 100, 1)
+    loss, terms, g_s, g_t = fused_train_loss_and_grads(
+        params["static"], params["temp"],
+        batch["origins"], batch["directions"], z, batch["phases"],
+        batch["pixels"], batch["weights"], batch["initial_intensities"],
+        cfgs["static"], cfgs["temp"], window, window, lw, hp,
+        hull=hull,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(terms["hull_s_l1"]), float(ref_m["train_hull_s_l1"]),
+        rtol=1e-5,
+    )
+    flat_f = jax.tree_util.tree_flatten_with_path(
+        {"static": g_s, "temp": g_t}
+    )[0]
+    flat_r = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(ref_g)[0]
+    )
+    for path, a in flat_f:
+        b = flat_r[jax.tree_util.keystr(path)]
+        scale = max(float(jnp.abs(b).max()), 1e-10)
+        err = float(jnp.abs(a - b).max()) / scale
+        assert err < 5e-4, (jax.tree_util.keystr(path), err, scale)
+
+    # no hull: the term is 0 in the XLA path AND the fused kernel (whose
+    # all-ones gate row would otherwise turn it into a plain static L1)
+    lq, mq = composite_loss_fn(params, batch, z, step, cfgs, hp)
+    assert float(mq["train_hull_s_l1"]) == 0.0
+    loss_nh, terms_nh, _, _ = fused_train_loss_and_grads(
+        params["static"], params["temp"],
+        batch["origins"], batch["directions"], z, batch["phases"],
+        batch["pixels"], batch["weights"], batch["initial_intensities"],
+        cfgs["static"], cfgs["temp"], window, window, lw, hp,
+    )
+    assert float(terms_nh["hull_s_l1"]) == 0.0
+    np.testing.assert_allclose(float(loss_nh), float(lq), rtol=1e-5)
