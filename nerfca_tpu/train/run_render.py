@@ -68,7 +68,18 @@ def render_views(args, views: list[tuple[float, float, int]]) -> list[dict]:
     depth_values = linspace_depths(
         info["near_thresh"], info["far_thresh"], args.depth_samples_per_ray_coarse
     )
-    from nerfca_tpu.ops.hull import hull_from_args
+    # gate exactly as training did: hull config from the checkpoint's
+    # persisted run record (stored record wins; mismatches warn) — same
+    # contract as run_eval
+    from nerfca_tpu.ops.hull import apply_hull_args_record, hull_from_args
+
+    try:
+        with open(os.path.join(args.resume_from, "metadata.json")) as f:
+            hull_record = json.load(f).get("run", {}).get("hull")
+    except (OSError, json.JSONDecodeError):
+        hull_record = None
+    if hull_record is not None:
+        apply_hull_args_record(args, hull_record)
 
     with open(paths.train) as f:
         train_frames = json.load(f)["frames"]
