@@ -156,6 +156,7 @@ def prepare_and_run_xcat(
     resp_str: str = "resp_start_phase_index",
     lca_val: float = 0.15,
     dimensions: Sequence[int] = XCAT_DIMENSIONS,
+    lca_bounds: Optional[np.ndarray] = None,
 ) -> dict:
     """Full per-phase pipeline: registry -> param override -> binary ->
     bin load -> LCA extraction -> registry update (``xcat.py:10-74``).
@@ -193,11 +194,25 @@ def prepare_and_run_xcat(
         os.path.join(run_path, "noarteries_atn_1.bin"), dimensions
     )
     artery = extract_artery_volume(full_vol, no_artery)
-    full_pinned, lca_vol = extract_lca(full_vol, artery, lca_val)
+    # the reference's crop box is in 512x512x401 grid units; scale it when
+    # the caller runs reduced dimensions (tests) so the box stays the same
+    # anatomical region
+    if lca_bounds is None:
+        scale = np.asarray(dimensions, np.float64) / np.asarray(
+            XCAT_DIMENSIONS, np.float64
+        )
+        lca_bounds = (LCA_BOUNDS * scale[:, None]).astype(np.float64)
+    full_pinned, lca_vol = extract_lca(
+        full_vol, artery, lca_val, bounds=lca_bounds
+    )
 
     np.save(os.path.join(run_path, "full_volume.npy"), full_pinned.flatten())
     np.save(os.path.join(run_path, "lca.npy"), lca_vol.flatten())
     np.save(os.path.join(run_path, "full_volume_tigre.npy"), full_pinned)
+    # the extracted-LCA volume in projector layout: the dataset builder's
+    # dynamic-GT provider reads <phase>/dyn_volume_tigre.npy to project the
+    # decomposition ground truth (dataset.py::_default_dynamic_provider)
+    np.save(os.path.join(run_path, "dyn_volume_tigre.npy"), lca_vol)
 
     center = lca_bounding_box_center(lca_vol)
     new_obj = {

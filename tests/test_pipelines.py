@@ -198,3 +198,47 @@ def test_ccta_surrogate_exercises_full_pipeline(tmp_path):
         assert (tmp_path / str(p) / "full_volume.npy").exists()
         assert (tmp_path / str(p) / "volume-shape.npy").exists()
         assert (tmp_path / str(p) / "spacing.npy").exists()
+
+
+def test_xcat_surrogate_drives_full_driver_contract(tmp_path, monkeypatch):
+    """The surrogate dxcat1_bin executes EVERY stage of the real XCAT
+    driver (param override -> subprocess -> bin load -> |full-noarteries|
+    -> LCA crop+pin 0.15 -> registry) at reduced dims, producing a moving
+    pinned-LCA volume inside the (scaled) reference crop box."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from nerfca_tpu.data.xcat import prepare_and_run_xcat
+
+    xp = str(tmp_path)
+    shutil.copy("scripts/dxcat_surrogate_bin.py", os.path.join(xp, "dxcat1_bin"))
+    os.chmod(os.path.join(xp, "dxcat1_bin"), 0o755)
+    par = ("0.0\thrt_start_phase_index (cardiac phase)\n"
+           "0.0\tresp_start_phase_index (resp phase)\n")
+    for name in ("volume", "noarteries"):
+        with open(os.path.join(xp, f"{name}.samp.par"), "w") as f:
+            f.write(par)
+    monkeypatch.setenv("XCAT_SURR_DIMS", "48,48,38")
+    monkeypatch.setenv("XCAT_SURR_DVOXEL", "2.7")
+    monkeypatch.setenv("NERFCA_REPO", os.getcwd())
+
+    lcas = []
+    for p in (0.0, 0.5):
+        obj = prepare_and_run_xcat(p, 0.0, xp, dimensions=(48, 48, 38))
+        run = os.path.join(xp, str(obj["id"]))
+        lca = np.load(os.path.join(run, "dyn_volume_tigre.npy"))
+        full = np.load(os.path.join(run, "full_volume_tigre.npy"))
+        assert (lca > 0).sum() > 0
+        assert np.isclose(float(lca.max()), 0.15, atol=1e-6)  # pinned
+        nz = lca > 0
+        np.testing.assert_allclose(full[nz], lca[nz])  # pin visible in full
+        assert (os.path.join(run, "full_volume.npy"), True)
+        lcas.append(lca)
+    # the coronary moves between phases; the registry has both entries
+    assert (((lcas[0] > 0) ^ (lcas[1] > 0)).sum()) > 0
+    import json
+
+    reg = json.load(open(os.path.join(xp, "phases.json")))
+    assert len(reg) == 2 and reg[1]["hrt_phase"] == 0.5
