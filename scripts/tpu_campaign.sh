@@ -88,7 +88,7 @@ run_job clean    7200 python scripts/tpu_clean_protocol.py
 run_job contrast 10800 python scripts/tpu_contrast_sweep.py 6000
 run_job presets  5400 python scripts/tpu_preset_views.py 6000
 run_job ccta     7200 python scripts/tpu_ccta_surrogate.py 6000
-run_job sweep    5400 python scripts/tpu_kernel_sweep.py --fused --vmem 100 --bf16res 4096 8192
+run_job sweep    7200 python scripts/tpu_kernel_sweep.py --fused --vmem 100 --bf16res 4096 8192 16384
 run_job profile  3600 python scripts/tpu_profile_step.py 4096 100
 run_job sharded  3600 python scripts/tpu_sharded_gate.py
 run_job xcat     7200 python scripts/tpu_xcat_surrogate.py 6000
