@@ -156,14 +156,25 @@ def main():
     if argv and argv[0] == "--arms":
         arms = argv[1].split(",")
 
+    force = False
+    if argv and argv[0] == "--force":
+        force = True
+        argv = argv[1:]
+
     out_path = f"cases/SYNTH/contrast_sweep-{n}.json"
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     results = []
     if os.path.isfile(out_path):
-        results = [
-            r for r in json.load(open(out_path))
-            if r["synth_lca_val"] not in arms
-        ]
+        results = json.load(open(out_path))
+        if force:
+            results = [r for r in results if r["synth_lca_val"] not in arms]
+        else:
+            # resume semantics: a killed/retried sweep skips finished arms
+            done = {r["synth_lca_val"] for r in results}
+            skipped = [a for a in arms if a in done]
+            if skipped:
+                print(f"resuming: arms {skipped} already recorded", flush=True)
+            arms = [a for a in arms if a not in done]
     for lca in arms:
         overrides = arm_overrides(lca)
         print(f"\n=== contrast {lca} ({overrides['data_name']}) ===", flush=True)
