@@ -367,6 +367,10 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
     if hs is None:
         hs = [jnp.maximum(p, 0.0) for p in pres]
     h_of = lambda l: hs[l]  # noqa: E731
+    # ReLU mask via an f32 upcast: bf16-stored residuals would otherwise
+    # emit a bf16 cmpf, which Mosaic rejects on v5e ("Target does not
+    # support this comparison"); the upcast is exact (and a no-op for f32)
+    relu_mask = lambda h: h.astype(jnp.float32) > 0  # noqa: E731
     n_hidden = wh.shape[0]
     hL = h_of(n_hidden)
     dwo = _dotg(g, hL, cT, dtype)  # [8, 128]
@@ -382,11 +386,11 @@ def _field_bwd(g, enc, pres, hs, wh, wo, lat=None, w1l=None,
     dbh = []
     for l in range(n_hidden - 1, -1, -1):
         # ReLU mask from the stored activation: h > 0 iff pre > 0 (exact)
-        dpre = dh * (hs[l + 1] > 0)
+        dpre = dh * relu_mask(hs[l + 1])
         dwh.append(_dotg(dpre, h_of(l), cT, dtype))  # [128, 128]
         dbh.append(jnp.sum(dpre, axis=1, keepdims=True))
         dh = _dotg(wh[l], dpre, cF, dtype)
-    dpre1 = dh * (hs[0] > 0)
+    dpre1 = dh * relu_mask(hs[0])
     dw1 = _dotg(dpre1, enc, cT, dtype)  # [128, rows]
     rows = enc.shape[0]
     if rows < WIDTH:

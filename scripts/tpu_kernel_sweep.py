@@ -107,6 +107,8 @@ def main():
         except Exception as e:  # keep sweeping other tiles
             print(f"  tile {t} FAILED: {type(e).__name__}: {e}")
     print("SUMMARY", json.dumps({str(k): round(v, 3) for k, v in results.items()}))
+    if not results:
+        sys.exit(1)  # every tile failed — let the supervisor retry
 
 
 if __name__ == "__main__":
