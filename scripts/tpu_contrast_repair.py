@@ -1,0 +1,199 @@
+"""Repair arms at the contrast where the stable 4-view regime dies.
+
+Follow-up to ``scripts/tpu_contrast_sweep.py`` (VERDICT r3 item 2): once
+the sweep locates the first contrast whose final 40-view dyn_corr falls
+below 0.7 (or whose post-peak PSNR collapse exceeds 4 dB), this script
+runs the candidate repair levers VERDICT named at exactly that contrast:
+
+  * ``hl1``      — hull-gated static L1 (CompositeHParams.hull_static_l1_*):
+                   penalize static line-integral mass INSIDE the motion
+                   hull so the static field cannot absorb the (now faint)
+                   vessel. Weight is a traced schedule input, so the two
+                   hl1 arms share one compile with the base recipe.
+  * ``longwin``  — window decay = 100% of the run (vs the recipe's 75%):
+                   low contrast needs the full schedule before high
+                   frequencies open (recompiles: decay steps are static).
+  * ``varmax``   — variance-map pixel weighting amplified 3x
+                   (``weighted_loss_max = 3``): up-weights exactly the
+                   pixels where the faint vessel moves (data-side, no
+                   recompile).
+  * ``hl1_longwin`` — the two structural levers combined.
+
+Target selection: reads ``cases/SYNTH/contrast_sweep-<n>.json`` and picks
+the HIGHEST-contrast failing arm (the threshold the sweep found), unless
+``--lca X`` overrides. Results append to
+``cases/SYNTH/contrast_repair-<n>.json`` with the same resume semantics
+as the sweep (finished arms are skipped; ``--force`` redoes).
+
+Usage: python scripts/tpu_contrast_repair.py [n_iters=6000]
+           [--lca 0.5] [--arms hl1,longwin,...] [--force]
+"""
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tpu_contrast_sweep import (  # noqa: E402
+    arm_overrides, base_args, prepare_dataset_cpu, eval_ckpt, stability,
+)
+from nerfca_tpu.train.trainer import train_composite  # noqa: E402
+
+CORR_OK = 0.7
+DROP_OK = 4.0
+
+REPAIRS = {
+    # name -> extra CLI overrides on top of the sweep recipe
+    "hl1": {
+        "hull_static_l1_weight_start": "1e-8",
+        "hull_static_l1_weight_end": "1e-4",
+    },
+    "hl1_hi": {
+        "hull_static_l1_weight_start": "1e-6",
+        "hull_static_l1_weight_end": "1e-3",
+    },
+    "longwin": {"_window_frac": "1.0"},
+    "varmax": {"weighted_loss_max": "3"},
+    "hl1_longwin": {
+        "hull_static_l1_weight_start": "1e-8",
+        "hull_static_l1_weight_end": "1e-4",
+        "_window_frac": "1.0",
+    },
+}
+
+
+def arm_ok(row: dict) -> bool:
+    s = row.get("stability", {})
+    corr = s.get("final_dyn_corr")
+    drop = s.get("psnr_drop_peak_to_final")
+    return (
+        corr is not None
+        and drop is not None
+        and corr >= CORR_OK
+        and drop <= DROP_OK
+    )
+
+
+def pick_target(sweep_rows: list) -> str:
+    """Highest-contrast FAILING arm — the threshold the sweep located."""
+    failing = [r for r in sweep_rows if not arm_ok(r)]
+    if not failing:
+        print("no failing arm in the sweep ledger — nothing to repair")
+        raise SystemExit(0)
+    return max(failing, key=lambda r: float(r["synth_lca_val"]))[
+        "synth_lca_val"
+    ]
+
+
+def repair_args(n: int, lca: str, repair: dict):
+    overrides = dict(arm_overrides(lca))
+    window_frac = float(repair.pop("_window_frac", 0.75))
+    overrides.update(repair)
+    args = base_args(n, overrides)
+    if window_frac != 0.75:
+        args.static_pos_enc_window_decay_steps = int(n * window_frac)
+        args.temp_pos_enc_window_decay_steps = int(n * window_frac)
+    return args
+
+
+def main():
+    n = 6000
+    argv = sys.argv[1:]
+    if argv and argv[0].replace(".", "").isdigit():
+        n = int(float(argv[0]))
+        argv = argv[1:]
+    lca = None
+    arms = list(REPAIRS)
+    force = False
+    while argv:
+        if argv[0] == "--lca":
+            lca = argv[1]
+            argv = argv[2:]
+        elif argv[0] == "--arms":
+            arms = argv[1].split(",")
+            argv = argv[2:]
+        elif argv[0] == "--force":
+            force = True
+            argv = argv[1:]
+        else:
+            raise SystemExit(f"unknown arg {argv[0]}")
+
+    sweep_path = f"cases/SYNTH/contrast_sweep-{n}.json"
+    sweep_rows = (
+        json.load(open(sweep_path)) if os.path.isfile(sweep_path) else []
+    )
+    if lca is None:
+        lca = pick_target(sweep_rows)
+    base_row = next(
+        (r for r in sweep_rows if r["synth_lca_val"] == lca), None
+    )
+    print(f"repair target: lca={lca}"
+          + (f" (sweep: {json.dumps(base_row['stability'])})"
+             if base_row else ""), flush=True)
+
+    out_path = f"cases/SYNTH/contrast_repair-{n}.json"
+    results = []
+    if os.path.isfile(out_path):
+        results = json.load(open(out_path))
+        key = lambda r: (r["repair"], r["synth_lca_val"])  # noqa: E731
+        if force:
+            results = [r for r in results
+                       if not (r["synth_lca_val"] == lca and r["repair"] in arms)]
+        else:
+            done = {key(r) for r in results}
+            skipped = [a for a in arms if (a, lca) in done]
+            if skipped:
+                print(f"resuming: arms {skipped} already recorded", flush=True)
+            arms = [a for a in arms if (a, lca) not in done]
+
+    prepare_dataset_cpu(n, arm_overrides(lca))
+    for name in arms:
+        print(f"\n=== repair {name} @ lca={lca} ===", flush=True)
+        args = repair_args(n, lca, dict(REPAIRS[name]))
+        t0 = time.time()
+        out = train_composite(args)
+        wall = time.time() - t0
+        log_dir = out["log_dir"]
+        ckpts = sorted(
+            glob.glob(os.path.join(log_dir, "checkpoint-[0-9]*")),
+            key=lambda p: int(p.rsplit("-", 1)[1]),
+        )
+        ckpts.append(os.path.join(log_dir, "checkpoint-best"))
+        evals = [
+            eval_ckpt(n, arm_overrides(lca), c, write_images=c.endswith("-best"))
+            for c in ckpts
+        ]
+        row = {
+            "repair": name,
+            "synth_lca_val": lca,
+            "overrides": REPAIRS[name],
+            "log_dir": log_dir,
+            "wall_sec": round(wall, 1),
+            "stability": stability(evals),
+            "evals": [e for e in evals if e],
+        }
+        results.append(row)
+        print(json.dumps({k: row[k] for k in ("repair", "stability")}),
+              flush=True)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+
+    print("\n=== repair-vs-stability @ lca", lca, "===")
+    if base_row:
+        s = base_row["stability"]
+        print(f"{'base':>12} peak={s.get('peak_psnr', 0):.2f} "
+              f"final={s.get('final_psnr', 0):.2f} "
+              f"corr(final)={s.get('final_dyn_corr')}")
+    for r in results:
+        if r["synth_lca_val"] != lca:
+            continue
+        s = r.get("stability", {})
+        print(f"{r['repair']:>12} peak={s.get('peak_psnr', 0):.2f} "
+              f"final={s.get('final_psnr', 0):.2f} "
+              f"corr(final)={s.get('final_dyn_corr')}")
+
+
+if __name__ == "__main__":
+    main()
