@@ -3,8 +3,10 @@
 Reads whichever of these exist and prints a markdown summary:
   - cases/SYNTH-FOVHC/clean_protocol.json   (clean-protocol headline + time-to-quality)
   - cases/SYNTH/contrast_sweep-<n>.json     (contrast-vs-stability curve)
+  - cases/SYNTH/contrast_repair-<n>.json    (repair arms at the failing contrast)
   - cases/SYNTH/preset_views.json           (2/3-view presets)
   - cases/MAGIX-SURR/surrogate_run.json     (CCTA pipeline end-to-end)
+  - cases/XCAT-SURR/surrogate_run.json      (XCAT driver-contract pipeline end-to-end)
 
 Usage: python scripts/summarize_round4.py
 """
@@ -24,6 +26,8 @@ def fmt(x, nd=2):
 
 def clean_protocol():
     p = "cases/SYNTH-FOVHC/clean_protocol.json"
+    if not os.path.isfile(p):
+        p = "artifacts/round4/clean_protocol/clean_protocol.json"
     if not os.path.isfile(p):
         return
     r = json.load(open(p))
@@ -84,13 +88,31 @@ def presets():
                 )
 
 
-def ccta():
-    p = "cases/MAGIX-SURR/surrogate_run.json"
+def repair():
+    paths = sorted(glob.glob("cases/SYNTH/contrast_repair-*.json"))
+    for p in paths:
+        rows = json.load(open(p))
+        print(f"\n## Contrast repair arms ({p})\n")
+        print("| repair | lca | peak PSNR @step | final PSNR | drop | "
+              "corr peak/final |")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            s = r.get("stability", {})
+            print(
+                f"| {r['repair']} | {r['synth_lca_val']} "
+                f"| {fmt(s.get('peak_psnr'))} @{s.get('peak_step')} "
+                f"| {fmt(s.get('final_psnr'))} "
+                f"| {s.get('psnr_drop_peak_to_final')} "
+                f"| {fmt(s.get('peak_dyn_corr'), 3)}/{fmt(s.get('final_dyn_corr'), 3)} |"
+            )
+
+
+def surrogate(p, title):
     if not os.path.isfile(p):
         return
     r = json.load(open(p))
     b = r["headline_checkpoint_best"]
-    print("\n## CCTA-surrogate end-to-end (MAGIX preset geometry)\n")
+    print(f"\n## {title}\n")
     print(f"run: `{r['log_dir']}`  train wall {r['train_wall_s']}s")
     print(
         f"\ncheckpoint-best (step {b.get('step')}): "
@@ -108,5 +130,9 @@ def ccta():
 if __name__ == "__main__":
     clean_protocol()
     contrast()
+    repair()
     presets()
-    ccta()
+    surrogate("cases/MAGIX-SURR/surrogate_run.json",
+              "CCTA-surrogate end-to-end (MAGIX preset geometry)")
+    surrogate("cases/XCAT-SURR/surrogate_run.json",
+              "XCAT-surrogate end-to-end (real driver contract)")
