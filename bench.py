@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -184,6 +185,10 @@ def main() -> None:
         hp = dataclasses.replace(
             hp, use_pallas=True, pallas_tile=4096, pallas_vmem_mb=100,
             use_fused_loss=True,
+            # round-4 sweep best adds bf16 residual storage (4.679 ms vs
+            # 4.79); opt-in via --bf16res until the correctness gate has
+            # certified it on hardware at this exact config
+            pallas_bf16_residuals="--bf16res" in sys.argv,
         )
     tx = make_optimizer(1e-3, 0.01, 150000)
     # the chunk donates its state, so the timing loop gets a COPY of the
