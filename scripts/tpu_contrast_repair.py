@@ -61,6 +61,20 @@ REPAIRS = {
         "hull_static_l1_weight_end": "1e-4",
         "_window_frac": "1.0",
     },
+    # Permanent static-field frequency cap: with the vessel iso-intense,
+    # the collapse mechanism is the static field absorbing the vessel once
+    # its encoding window opens past the vessel's spatial scale. Capping
+    # the STATIC window at 6 of L=12 bands (the dynamic field keeps the
+    # full schedule) denies the static field that representation capacity
+    # permanently — the thin high-frequency mover can only live in the
+    # dynamic field. Eval reconstructs the capped window from checkpoint
+    # metadata (load_field_configs), so scoring stays train-consistent.
+    "wincap": {"static_pos_enc_window_max": "6"},
+    "wincap_hl1": {
+        "static_pos_enc_window_max": "6",
+        "hull_static_l1_weight_start": "1e-8",
+        "hull_static_l1_weight_end": "1e-4",
+    },
 }
 
 

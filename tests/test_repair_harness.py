@@ -66,6 +66,14 @@ def test_repair_args_apply_levers():
     a = rep.repair_args(6000, "0.8", dict(rep.REPAIRS["hl1_longwin"]))
     assert a.hull_static_l1_weight_end == pytest.approx(1e-4)
     assert a.static_pos_enc_window_decay_steps == 6000
+
+    # wincap: permanent STATIC frequency cap; dynamic keeps full schedule
+    a = rep.repair_args(6000, "0.8", dict(rep.REPAIRS["wincap"]))
+    assert a.static_pos_enc_window_max == pytest.approx(6.0)
+    assert a.temp_pos_enc_window_max == pytest.approx(0.0)
+    a = rep.repair_args(6000, "0.8", dict(rep.REPAIRS["wincap_hl1"]))
+    assert a.static_pos_enc_window_max == pytest.approx(6.0)
+    assert a.hull_static_l1_weight_end == pytest.approx(1e-4)
     # every arm trains on the target-contrast dataset
     assert a.data_name == "SYNTH-FOVC0p8"
     assert a.synth_lca_val == pytest.approx(0.8)
