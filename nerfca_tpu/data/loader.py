@@ -100,11 +100,14 @@ def load_dataset(
     weighted_loss_max: float = 1.0,
     use_weighting: bool = True,
     single_test_frame: bool = True,
+    n_test_frames: int = 1,
 ) -> LoadedDataset:
     """Load a built dataset directory into training arrays.
 
-    ``single_test_frame``: the reference always truncates the test split to
-    one image (``run_composite.py:74-76``).
+    ``single_test_frame``: the reference always truncates the test split
+    (``run_composite.py:74-76``) — to one image by default; multi-view
+    model selection passes ``n_test_frames=K`` to keep the K dedicated
+    selection frames that lead test-*.json.
     """
     with open(paths.general) as f:
         info = json.load(f)
@@ -113,7 +116,7 @@ def load_dataset(
     with open(paths.test) as f:
         test_frames = json.load(f)["frames"]
     if single_test_frame and len(test_frames) > 0:
-        test_frames = [test_frames[0]]
+        test_frames = test_frames[: max(1, int(n_test_frames))]
 
     rays, phases = prepare_rays(
         train_frames, info, weighted_loss_max, use_weighting

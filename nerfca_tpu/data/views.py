@@ -90,13 +90,18 @@ def select_views(
         )
 
     if selection_view is not None:
-        sel = np.asarray(selection_view, dtype=float)
-        # drop any existing test row matching the selection view BEFORE
-        # prepending it: a duplicated angle would render twice in
+        sels = np.asarray(selection_view, dtype=float)
+        if sels.ndim == 1:
+            sels = sels[None, :]
+        # drop any existing test row matching a selection view BEFORE
+        # prepending them: a duplicated angle would render twice in
         # test-*.json AND be filtered out of evaluate.json entirely by
         # build_dataset's selection-angle exclusion (every copy matches)
-        keep = ~np.all(test_angles == sel[None, :], axis=1)
-        test_angles = np.insert(test_angles[keep], 0, sel, axis=0)
+        keep = ~np.any(
+            np.all(test_angles[:, None, :] == sels[None, :, :], axis=-1),
+            axis=1,
+        )
+        test_angles = np.concatenate([sels, test_angles[keep]], axis=0)
 
     phases = np.arange(time_range_start, time_range_end) / 10
     return [
@@ -106,7 +111,8 @@ def select_views(
             "train_viewpoints": angles,
             "test_viewpoints": test_angles,
             **(
-                {"selection_viewpoint": list(map(float, selection_view))}
+                {"selection_viewpoint": sels[0].tolist(),
+                 "selection_viewpoints": sels.tolist()}
                 if selection_view is not None
                 else {}
             ),

@@ -75,12 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_step_size_test", type=_maybe(float), default=None)
     p.add_argument(
         "--selection_view", type=_maybe(str), default=None,
-        help="'theta,phi' of a dedicated model-selection test view; it is "
-        "placed FIRST in test-*.json (the in-loop metric / checkpoint-best "
-        "view) and excluded from evaluate.json so reported held-out means "
-        "stay disjoint from model selection (no reference analog). For a "
-        "negative theta use the = form (--selection_view=-30,0): argparse "
-        "treats a leading '-' in a separate token as an option string",
+        help="'theta,phi' (or 't1,p1;t2,p2;...' for multi-view selection) "
+        "of dedicated model-selection test view(s); they are placed FIRST "
+        "in test-*.json (the in-loop metric / checkpoint-best selection is "
+        "their MEAN) and excluded from evaluate.json so reported held-out "
+        "means stay disjoint from model selection (no reference analog). "
+        "For a negative theta use the = form (--selection_view=-30,0): "
+        "argparse treats a leading '-' in a separate token as an option "
+        "string",
     )
 
     p.add_argument("--only_prepare_data", type=_bool, default=False)

@@ -203,12 +203,8 @@ def _variance_ray_split(rays: np.ndarray, var_sample_thre: float):
     return var_ids.astype(np.int32), non_var_ids.astype(np.int32)
 
 
-def _setup_test_view(data, args):
-    """Single-test-view tensors (``run_composite.py:112-136``)."""
-    if not data.test_frames:
-        return None
-    frame = data.test_frames[0]
-    info = data.info
+def _view_tensors(frame, info):
+    """Tensors for one test frame (``run_composite.py:112-136``)."""
     w, h = (int(v) for v in info["nDetector"])
     origins, dirs = detector_rays(frame["theta"], frame["phi"], frame["larm"], info)
     img = denormalize_image(
@@ -220,6 +216,7 @@ def _setup_test_view(data, args):
         "phases": jnp.full((w * h,), frame["heart_phase"], jnp.int32),
         "image": jnp.asarray(img.reshape(-1).astype(np.float32)),
         "shape": (w, h),
+        "angle": (float(frame["theta"]), float(frame["phi"])),
     }
     # dynamic-component ground truth (when the dataset provides it): feeds
     # the in-loop separation trajectory (test_dyn_corr/test_dyn_psnr)
@@ -227,6 +224,26 @@ def _setup_test_view(data, args):
     if os.path.isfile(dyn_path):
         view["dyn_gt"] = np.load(dyn_path).reshape((w, h)).T.astype(np.float32)
     return view
+
+
+def _setup_test_views(data, args):
+    """Selection-view tensors. The reference keys model selection on the
+    FIRST test frame only (``run_composite.py:74-76``); with K > 1
+    ``;``-separated ``--selection_view`` pairs, the first K test frames
+    (the dedicated selection views, prepended by ``views.select_views``)
+    ALL feed selection and the in-loop metric is their mean — single-view
+    selection measurably disagrees with the 40-view held-out metric at
+    sparse-view operating points (round-4 clean-protocol data)."""
+    if not data.test_frames:
+        return None
+    from nerfca_tpu.data.dataset import _parse_selection_views
+
+    sel = _parse_selection_views(getattr(args, "selection_view", None))
+    k = len(sel) if sel else 1
+    return [
+        _view_tensors(f, data.info)
+        for f in data.test_frames[: min(k, len(data.test_frames))]
+    ]
 
 
 def _chunk_size(args) -> int:
@@ -271,7 +288,13 @@ def prepare_composite(args, mesh=None):
     ):
         build_dataset(args, args.data_root)
 
-    data = load_dataset(paths, args.weighted_loss_max, use_weighting=True)
+    from nerfca_tpu.data.dataset import _parse_selection_views
+
+    _sel = _parse_selection_views(getattr(args, "selection_view", None))
+    data = load_dataset(
+        paths, args.weighted_loss_max, use_weighting=True,
+        n_test_frames=len(_sel) if _sel else 1,
+    )
     info = data.info
     near, far = info["near_thresh"], info["far_thresh"]
     max_pixel_value = info["max_pixel_value"]
@@ -350,7 +373,7 @@ def prepare_composite(args, mesh=None):
         if len(non_var_ids)
         else jnp.zeros(1, jnp.int32),
     }
-    test_view = _setup_test_view(data, args)
+    test_views = _setup_test_views(data, args)
 
     return {
         "data": data,
@@ -363,7 +386,8 @@ def prepare_composite(args, mesh=None):
         "train_step": train_step,
         "depth_values": depth_values,
         "max_pixel_value": max_pixel_value,
-        "test_view": test_view,
+        "test_view": test_views[0] if test_views else None,
+        "test_views": test_views,
         "chunk_size": _chunk_size(args),
         "paths": paths,
         "hull": hull,
@@ -394,6 +418,7 @@ def _chunked_train_loop(
     driver passes the loss-weight schedule)."""
     start_step = int(state.step)
     stop = False
+    loop_info = {"diverged_at": None, "final_step": start_step}
     t_start = time.time()
     profile_left = args.profile_steps
     if profile_left > 0:
@@ -425,10 +450,18 @@ def _chunked_train_loop(
         # budget (sweeps rank it last; see run_sweep)
         if not np.isfinite(metrics["train_loss"]).all():
             first_bad = int(np.argmax(~np.isfinite(metrics["train_loss"])))
+            # name the first non-finite term at the collapse step so the
+            # campaign ledger records a diagnosis, not just an empty headline
+            bad_terms = sorted(
+                k for k, v in metrics.items()
+                if not np.isfinite(np.asarray(v[min(first_bad, len(v) - 1)])).all()
+            )
+            loop_info["diverged_at"] = step + first_bad
+            loop_info["diverged_terms"] = bad_terms
             print(
                 f"ABORT at step {step + first_bad}: non-finite train_loss "
-                f"(diverged). Consider lower weights or a higher "
-                f"--entro_clip_threshold."
+                f"(diverged; non-finite terms: {bad_terms}). Consider lower "
+                f"weights or a higher --entro_clip_threshold."
             )
             stop = True
 
@@ -450,7 +483,8 @@ def _chunked_train_loop(
         ):
             save_fn(state, step)
 
-    return state
+    loop_info["final_step"] = step
+    return state, loop_info
 
 
 def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
@@ -467,7 +501,8 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
     chunk_fn = setup["chunk_fn"]
     chunk = setup["chunk_size"]
     hp, cfgs = setup["hp"], setup["cfgs"]
-    test_view = setup["test_view"]
+    test_views = setup["test_views"]
+    test_view = setup["test_view"]  # primary: feeds the logged image panels
     hull = setup["hull"]
 
     # the reference jitters the eval depths once before the loop
@@ -526,12 +561,12 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
                 metric = metric - 1000.0
         return metric
 
-    def eval_fn(state, step):
+    def _eval_one_view(state, step, view):
         render = evaluation.render_test_view(
             state.params,
-            test_view["origins"],
-            test_view["directions"],
-            test_view["phases"],
+            view["origins"],
+            view["directions"],
+            view["phases"],
             test_depths,
             step,
             cfgs,
@@ -541,21 +576,41 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
             hull=hull,
         )
         tm = evaluation.test_metrics(
-            render, test_view["image"], step, hp, img_shape=test_view["shape"]
+            render, view["image"], step, hp, img_shape=view["shape"]
         )
-        if "dyn_gt" in test_view:
+        if "dyn_gt" in view:
             # separation trajectory: the temporal field's attenuation
             # integral vs the artery-only ground-truth line integral
-            wv, hv = test_view["shape"]
+            wv, hv = view["shape"]
             pred_dyn = setup["max_pixel_value"] - np.asarray(
                 render["pix_temp"]
             ).reshape(wv, hv)
             tm["test_dyn_psnr"] = evaluation.image_psnr(
-                pred_dyn, test_view["dyn_gt"]
+                pred_dyn, view["dyn_gt"]
             )
             tm["test_dyn_corr"] = evaluation.pearson_corr(
-                pred_dyn, test_view["dyn_gt"]
+                pred_dyn, view["dyn_gt"]
             )
+        return render, tm
+
+    def eval_fn(state, step):
+        # all selection views share one compiled render (identical shapes);
+        # the logged/selection metric is their mean
+        render, tm = _eval_one_view(state, step, test_views[0])
+        if len(test_views) > 1:
+            tms = [tm] + [
+                _eval_one_view(state, step, v)[1] for v in test_views[1:]
+            ]
+            tm = {
+                k: float(np.mean([t[k] for t in tms]))
+                for k in tms[0]
+                if all(k in t for t in tms)
+            }
+            tm["step"] = step
+            for i, (t, v) in enumerate(zip(tms, test_views)):
+                for key in ("test_image_psnr", "test_dyn_corr"):
+                    if key in t:
+                        tm[f"{key}_sel{i}"] = t[key]
         last_eval.update(tm)
         logger.log(tm, step=step)
         w, h = test_view["shape"]
@@ -618,7 +673,7 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
             metric=_selection_metric(),
         )
 
-    state = _chunked_train_loop(
+    state, loop_info = _chunked_train_loop(
         args, logger, log_dir, state, dd, chunk_fn, chunk, n_total,
         eval_fn=eval_fn if test_view is not None else None,
         save_fn=save_fn,
@@ -628,7 +683,14 @@ def train_composite(args=None, argv=None, max_steps: Optional[int] = None):
     )
 
     logger.close()
-    return {"state": state, "log_dir": log_dir, "setup": setup}
+    return {
+        "state": state,
+        "log_dir": log_dir,
+        "setup": setup,
+        "diverged_at": loop_info["diverged_at"],
+        "diverged_terms": loop_info.get("diverged_terms"),
+        "final_step": loop_info["final_step"],
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -705,7 +767,10 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
         else jnp.zeros(1, jnp.int32),
     }
 
-    test_view = _setup_test_view(data, args)
+    # static runs key selection on the first test frame only (reference
+    # behavior); multi-view selection is a composite-trainer feature
+    views = _setup_test_views(data, args)
+    test_view = views[0] if views else None
     test_depths = stratify_depths(jax.random.PRNGKey(args.seed + 1), depth_values)
 
     n_total = (max_steps if max_steps is not None else args.n_iters) + 1
@@ -762,11 +827,17 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
             metric=last_eval.get("test_image_psnr"),
         )
 
-    state = _chunked_train_loop(
+    state, loop_info = _chunked_train_loop(
         args, logger, log_dir, state, dd, chunk_fn, chunk, n_total,
         eval_fn=eval_fn if test_view is not None else None,
         save_fn=save_fn,
     )
 
     logger.close()
-    return {"state": state, "log_dir": log_dir}
+    return {
+        "state": state,
+        "log_dir": log_dir,
+        "diverged_at": loop_info["diverged_at"],
+        "diverged_terms": loop_info.get("diverged_terms"),
+        "final_step": loop_info["final_step"],
+    }

@@ -75,6 +75,29 @@ REPAIRS = {
         "hull_static_l1_weight_start": "1e-8",
         "hull_static_l1_weight_end": "1e-4",
     },
+    # Round-5 arms (VERDICT r4 item 3). The round-4 data splits the failure
+    # in two: hl1/varmax retain final dyn_corr ~0.95 while the IMAGE
+    # collapses, and collapse_forensics shows the static field memorizing
+    # post-peak while the dynamic field keeps improving. The direct fix is
+    # the two-phase schedule: freeze the static field at its peak
+    # (static_freeze_step, traced -> shares the compile) so it can neither
+    # memorize nor absorb the vessel, and let the dynamic field finish.
+    "freeze500": {"static_freeze_step": "500"},
+    "freeze1000": {"static_freeze_step": "1000"},
+    # freeze + the image-gentlest retention levers from round 4
+    "freeze_varmax_longwin": {
+        "static_freeze_step": "750",
+        "weighted_loss_max": "3",
+        "_window_frac": "1.0",
+    },
+    # everything: freeze + hull-L1 + varmax + longwin
+    "combo_all": {
+        "static_freeze_step": "750",
+        "hull_static_l1_weight_start": "1e-8",
+        "hull_static_l1_weight_end": "1e-4",
+        "weighted_loss_max": "3",
+        "_window_frac": "1.0",
+    },
 }
 
 
@@ -91,12 +114,15 @@ def arm_ok(row: dict) -> bool:
 
 
 def pick_target(sweep_rows: list) -> str:
-    """Highest-contrast FAILING arm — the threshold the sweep located."""
+    """LOWEST-contrast failing arm — the decisive XCAT-like (~1.0x tissue)
+    point is what the repair campaign must crack, not the threshold edge
+    (round-4 targeted the highest failing contrast, 0.5, by mistake —
+    VERDICT r4 weak #2)."""
     failing = [r for r in sweep_rows if not arm_ok(r)]
     if not failing:
         print("no failing arm in the sweep ledger — nothing to repair")
         raise SystemExit(0)
-    return max(failing, key=lambda r: float(r["synth_lca_val"]))[
+    return min(failing, key=lambda r: float(r["synth_lca_val"]))[
         "synth_lca_val"
     ]
 
@@ -185,6 +211,7 @@ def main():
             "overrides": REPAIRS[name],
             "log_dir": log_dir,
             "wall_sec": round(wall, 1),
+            "diverged_at": out.get("diverged_at"),
             "stability": stability(evals),
             "evals": [e for e in evals if e],
         }

@@ -90,10 +90,13 @@ def prepare_dataset_cpu(n: int, overrides: dict) -> None:
 
     args = base_args(n, overrides)
     paths = dataset_paths(args, root="data")
+    lock = os.path.join(paths.folder, ".building")
     if all(
         os.path.isfile(p)
         for p in (paths.train, paths.test, paths.evaluate, paths.general)
-    ):
+    ) and not os.path.exists(lock):
+        # the lockfile guards against a concurrent builder's partial files
+        # being read as a complete dataset (ADVICE r4 #1)
         print(f"dataset ready: {paths.folder}", flush=True)
         return
     argv = [
@@ -107,7 +110,14 @@ def prepare_dataset_cpu(n: int, overrides: dict) -> None:
     for k, v in overrides.items():
         if k in DATA_KEYS:
             argv += [f"--{k}", v]
-    subprocess.run(argv, check=True)
+    os.makedirs(paths.folder, exist_ok=True)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        subprocess.run(argv, check=True)
+    finally:
+        if os.path.exists(lock):
+            os.remove(lock)
 
 
 def eval_ckpt(n, overrides, ckpt, write_images=False) -> dict:
@@ -198,6 +208,7 @@ def main():
             "contrast_ratio_vs_tissue": round(float(lca) / 0.18, 2),
             "log_dir": log_dir,
             "wall_sec": round(wall, 1),
+            "diverged_at": out.get("diverged_at"),
             "stability": stability(evals),
             "evals": [e for e in evals if e],
         }

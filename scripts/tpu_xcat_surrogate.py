@@ -190,6 +190,22 @@ def main():
     out = train_composite(args)
     wall = time.time() - t0
     log_dir = out["log_dir"]
+    if out.get("diverged_at") is not None:
+        # never write a NaN headline as if it were a result (round-4 weak #1)
+        row = {
+            "status": "DIVERGED",
+            "diverged_at": out["diverged_at"],
+            "diverged_terms": out.get("diverged_terms"),
+            "n_iters": n,
+            "log_dir": log_dir,
+            "train_wall_s": round(wall, 1),
+        }
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        with open(OUT, "w") as f:
+            json.dump(row, f, indent=2)
+        print(f"DIVERGED at step {out['diverged_at']} "
+              f"({out.get('diverged_terms')}) -> {OUT}")
+        sys.exit(3)
 
     ckpts = sorted(
         glob.glob(os.path.join(log_dir, "checkpoint-[0-9]*")),

@@ -330,6 +330,33 @@ def test_selection_view_protocol(tmp_path):
     assert len(test_frames) == 10
 
 
+def test_multi_selection_view_protocol(tmp_path):
+    """';'-separated --selection_view pairs all lead test-*.json (in listed
+    order) and are ALL excluded from evaluate.json; the dataset tag encodes
+    every pair so folders with different selection sets never alias
+    (VERDICT r4 item 5: multi-view model selection)."""
+    args = synth_args(tmp_path, selection_view="15,0;0,20")
+    paths = build_dataset(args, str(tmp_path / "data"), projector_samples=32)
+
+    with open(paths.test) as f:
+        test_frames = json.load(f)["frames"]
+    with open(paths.evaluate) as f:
+        eval_frames = json.load(f)["frames"]
+
+    assert (test_frames[0]["theta"], test_frames[0]["phi"]) == (15.0, 0.0)
+    assert (test_frames[1]["theta"], test_frames[1]["phi"]) == (0.0, 20.0)
+    for pair in ((15.0, 0.0), (0.0, 20.0)):
+        assert all((f["theta"], f["phi"]) != pair for f in eval_frames)
+    # clinical views intact (2 phases x 4 views); test adds 2 selection
+    # views per phase
+    assert len(eval_frames) == 8
+    assert len(test_frames) == 12
+
+    # distinct identity vs the single-view build
+    single = synth_args(tmp_path, selection_view="15,0")
+    assert dataset_paths(single, str(tmp_path / "data")).train != paths.train
+
+
 def test_selection_view_is_dataset_identity(tmp_path):
     """A folder built WITHOUT --selection_view must not satisfy a run that
     asks for one: the selection view is part of the dataset tag (distinct

@@ -234,7 +234,7 @@ def test_xcat_surrogate_drives_full_driver_contract(tmp_path, monkeypatch):
         assert np.isclose(float(lca.max()), 0.15, atol=1e-6)  # pinned
         nz = lca > 0
         np.testing.assert_allclose(full[nz], lca[nz])  # pin visible in full
-        assert (os.path.join(run, "full_volume.npy"), True)
+        assert os.path.isfile(os.path.join(run, "full_volume.npy"))
         lcas.append(lca)
     # the coronary moves between phases; the registry has both entries
     assert (((lcas[0] > 0) ^ (lcas[1] > 0)).sum()) > 0

@@ -90,6 +90,33 @@ def test_composite_resume(composite_run, tmp_path):
     assert int(out2["state"].step) == 121
 
 
+def test_multi_view_selection_metric_is_mean(tmp_path):
+    """With K ';'-separated selection views the in-loop metric (and the
+    checkpoint-best scalar) is the MEAN over the K dedicated views, with
+    per-view test_image_psnr_sel{i} logged alongside (VERDICT r4 item 5)."""
+    args = parse_args(tiny_argv(
+        tmp_path, extra=["--selection_view", "15,0;0,20", "--n_iters", "40",
+                         "--display_every", "40", "--save_every", "40",
+                         "--lr_decay_steps", "30",
+                         "--static_pos_enc_window_decay_steps", "30",
+                         "--temp_pos_enc_window_decay_steps", "30",
+                         "--hyperparam_decay_steps", "30",
+                         "--favor_s_weight_delay_steps", "10"]
+    ))
+    out = train_composite(args)
+    records = [json.loads(l) for l in
+               open(os.path.join(out["log_dir"], "metrics.jsonl"))]
+    test_recs = [r for r in records if "test_image_psnr" in r]
+    assert test_recs, "no eval rows logged"
+    r = test_recs[-1]
+    assert "test_image_psnr_sel0" in r and "test_image_psnr_sel1" in r
+    assert np.isclose(
+        r["test_image_psnr"],
+        0.5 * (r["test_image_psnr_sel0"] + r["test_image_psnr_sel1"]),
+        rtol=1e-5,
+    )
+
+
 def test_static_driver(tmp_path):
     args = parse_args([
         "--config", "configs/3d.txt",
