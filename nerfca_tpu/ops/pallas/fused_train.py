@@ -61,6 +61,19 @@ TERMS = 16  # padded term-accumulator rows
 
 def fused_train_supported(cfg_s: FieldConfig, cfg_t: FieldConfig,
                           hp) -> bool:
+    """Envelope of the monolithic train-gradient kernel.
+
+    ``depth_samples_fine == 0`` is a PERMANENT scope decision, not a gap:
+    the reference ships the fine hierarchy disabled
+    (``/root/reference/train/composite.txt:26`` N_importance = 0), the
+    fine pass needs per-ray sorted depths (a data-dependent gather the
+    Mosaic kernel's fixed [rows, T] tiling can't express without a
+    scatter, which Mosaic forbids — see BENCH.md kernel rules), and the
+    XLA path covers fine-enabled configs at full fidelity. A fine-enabled
+    run composes the coarse Pallas field kernel with the XLA fine pass via
+    ``make_composite_train_step``'s per-pass gating; a test pins the
+    fallback (``tests/test_fused_train.py::test_fine_pass_falls_back_to_xla``).
+    """
     return (
         hp.use_pallas
         and getattr(hp, "use_fused_loss", False)

@@ -14,9 +14,14 @@ checkpoint (training is chunked at a fixed steps/s, so per-checkpoint wall
 = train_wall * step/n_iters + dataset/compile overhead, reported separately)
 joined with that checkpoint's 40-view mean PSNR.
 
-Writes ``cases/SYNTH-FOVHC/clean_protocol.json``.
+Writes ``cases/SYNTH-FOVHC/clean_protocol.json`` (or
+``clean_protocol_multisel.json`` with ``--selection``).
 
-Usage: python scripts/tpu_clean_protocol.py [resume_ckpt]
+``--selection "t1,p1;t2,p2;..."`` switches model selection to the mean
+over K dedicated disjoint views (VERDICT r4 item 5: single-view selection
+left 2.1 dB on the table vs the oracle peak and inverted at 3-view).
+
+Usage: python scripts/tpu_clean_protocol.py [resume_ckpt] [--selection S]
 """
 import glob
 import json
@@ -33,6 +38,7 @@ from nerfca_tpu.train import run_eval
 
 CONFIG = "configs/synth-4view-best.txt"
 OUT = "cases/SYNTH-FOVHC/clean_protocol.json"
+SELECTION = "0,0"  # overridden by --selection
 
 
 def build(resume=None):
@@ -42,6 +48,8 @@ def build(resume=None):
         "--data_root", "data",
         "--log_dir_root", "cases",
     ]
+    if SELECTION != "0,0":
+        argv += [f"--selection_view={SELECTION}"]
     if resume:
         argv += ["--resume_from", resume]
     return parse_args(argv)
@@ -61,15 +69,15 @@ def prepare_dataset_cpu():
     ):
         print(f"dataset ready: {paths.folder}", flush=True)
         return
-    subprocess.run(
-        [
-            sys.executable, "-m", "nerfca_tpu.train.run_composite",
-            "--config", CONFIG, "--data_root", "data",
-            "--use_wandb", "false",
-            "--only_prepare_data", "true", "--platform", "cpu",
-        ],
-        check=True,
-    )
+    argv = [
+        sys.executable, "-m", "nerfca_tpu.train.run_composite",
+        "--config", CONFIG, "--data_root", "data",
+        "--use_wandb", "false",
+        "--only_prepare_data", "true", "--platform", "cpu",
+    ]
+    if SELECTION != "0,0":
+        argv += [f"--selection_view={SELECTION}"]
+    subprocess.run(argv, check=True)
 
 
 def eval_ckpt(ckpt: str, write_images: bool = False) -> dict:
@@ -93,7 +101,14 @@ def eval_ckpt(ckpt: str, write_images: bool = False) -> dict:
 
 
 def main():
-    resume = sys.argv[1] if len(sys.argv) > 1 else None
+    global OUT, SELECTION
+    argv = list(sys.argv[1:])
+    if "--selection" in argv:
+        i = argv.index("--selection")
+        SELECTION = argv[i + 1]
+        del argv[i:i + 2]
+        OUT = OUT.replace(".json", "_multisel.json")
+    resume = argv[0] if argv else None
     prepare_dataset_cpu()
     args = build(resume)
     t0 = time.time()
@@ -103,7 +118,7 @@ def main():
 
     # protocol audit: the run's own config must show the disjoint selection
     cfg = json.load(open(os.path.join(log_dir, "config.json")))
-    assert cfg.get("selection_view") == "0,0", cfg.get("selection_view")
+    assert cfg.get("selection_view") == SELECTION, cfg.get("selection_view")
 
     ckpts = sorted(
         glob.glob(os.path.join(log_dir, "checkpoint-[0-9]*")),
@@ -128,9 +143,10 @@ def main():
 
     row = {
         "config": CONFIG,
-        "protocol": "selection_view=(0,0) disjoint from the 40-view "
-                    "evaluate.json set; checkpoint-best keyed on the "
-                    "selection view only",
+        "selection_view": SELECTION,
+        "protocol": f"selection_view(s)={SELECTION} disjoint from the "
+                    "40-view evaluate.json set; checkpoint-best keyed on "
+                    "the selection view(s) only (mean when multiple)",
         "log_dir": log_dir,
         "train_wall_s": round(train_wall, 1),
         "steps_per_sec_incl_overhead": round(steps_per_sec, 1),

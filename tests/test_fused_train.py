@@ -368,3 +368,22 @@ def test_fused_train_bf16_residuals_close():
             err = float(jnp.abs(a - b).max()) / scale
             # bf16 has ~3 decimal digits; residuals appear once per matmul
             assert err < 2e-2, (jax.tree_util.keystr(path), err, scale)
+
+
+def test_fine_pass_falls_back_to_xla():
+    """depth_samples_fine > 0 is OUTSIDE the fused kernel's envelope by
+    permanent scope decision (the reference ships the fine hierarchy
+    disabled, train/composite.txt N_importance = 0, and per-ray sorted
+    fine depths need a gather the Mosaic tiling can't express) — the
+    composite step must silently compose the XLA fine pass instead. See
+    fused_train_supported's docstring."""
+    import dataclasses
+
+    from nerfca_tpu.ops.pallas.fused_train import fused_train_supported
+
+    _, cfgs, hp, _, _ = _setup()
+    hp = dataclasses.replace(hp, use_fused_loss=True)
+    assert fused_train_supported(cfgs["static"], cfgs["temp"], hp)
+
+    hp_fine = dataclasses.replace(hp, depth_samples_fine=16)
+    assert not fused_train_supported(cfgs["static"], cfgs["temp"], hp_fine)
