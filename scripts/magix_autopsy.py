@@ -83,7 +83,7 @@ def main():
     prev = state
     bad_step = None
     for _ in range(max_steps):
-        prev = jax.tree.map(np.asarray, state)  # host copy
+        prev = jax.device_get(state)  # host copy (keeps typed PRNG keys)
         state, metrics = chunk_fn(
             state, dd["rays"], dd["phases"], dd["var_ids"], dd["non_var_ids"],
             1, sched, *((hull,) if hull is not None else ()),
@@ -93,16 +93,16 @@ def main():
         print(f"after step {int(state.step) - 1}: loss={loss_v:.3e} "
               f"nonfinite params={nf}")
         if any(nf.values()):
-            bad_step = int(prev["step"])
+            bad_step = int(prev.step)
             break
     if bad_step is None:
         print("no divergence within", max_steps, "steps")
         return
 
     print(f"\n=== replaying step {bad_step} from the pre-collapse state ===")
-    params = jax.tree.map(jnp.asarray, prev["params"])
-    step = jnp.asarray(prev["step"])
-    rng = jnp.asarray(prev["rng"])
+    params = jax.tree.map(jnp.asarray, prev.params)
+    step = jnp.asarray(prev.step)
+    rng = jnp.asarray(prev.rng)
 
     rng, k_sample, k_depth, k_fine = jax.random.split(rng, 4)
     batch = sample_ray_batch(
