@@ -203,12 +203,20 @@ def hull_gate(hull: MotionHull, x, y, z):
         & (gy >= 0.0) & (gy <= ry - 1)
         & (gz >= 0.0) & (gz <= rz - 1)
     )
-    gx = jnp.clip(gx, 0.0, rx - 1 - 1e-6)
-    gy = jnp.clip(gy, 0.0, ry - 1 - 1e-6)
-    gz = jnp.clip(gz, 0.0, rz - 1 - 1e-6)
-    ix = jnp.floor(gx).astype(jnp.int32)
-    iy = jnp.floor(gy).astype(jnp.int32)
-    iz = jnp.floor(gz).astype(jnp.int32)
+    # Base-cell index clamped INTEGER-side to res-2 so the +1 corner is
+    # always a valid gather. The former float-side clamp to `res-1-1e-6`
+    # rounds to exactly `res-1` in f32 (eps at 95 is ~7.6e-6), so a sample
+    # landing exactly on the far grid face indexed row `res` — and
+    # jnp.take's default out-of-bounds mode FILLS NaN, which `* fx(=0)`
+    # does not mask (NaN*0=NaN). One such sample per ~50M was enough to
+    # kill the MAGIX-SURR run at step ~60 (cases/MAGIX-SURR autopsy,
+    # scripts/magix_gate_probe3.py); mode="clip" is belt-and-braces.
+    gx = jnp.clip(gx, 0.0, rx - 1)
+    gy = jnp.clip(gy, 0.0, ry - 1)
+    gz = jnp.clip(gz, 0.0, rz - 1)
+    ix = jnp.minimum(jnp.floor(gx).astype(jnp.int32), rx - 2)
+    iy = jnp.minimum(jnp.floor(gy).astype(jnp.int32), ry - 2)
+    iz = jnp.minimum(jnp.floor(gz).astype(jnp.int32), rz - 2)
     fx = gx - ix
     fy = gy - iy
     fz = gz - iz
@@ -216,7 +224,7 @@ def hull_gate(hull: MotionHull, x, y, z):
 
     def corner(dx, dy, dz):
         lin = ((ix + dx) * ry + (iy + dy)) * rz + (iz + dz)
-        return jnp.take(flat, lin)
+        return jnp.take(flat, lin, mode="clip")
 
     c00 = corner(0, 0, 0) * (1 - fx) + corner(1, 0, 0) * fx
     c10 = corner(0, 1, 0) * (1 - fx) + corner(1, 1, 0) * fx

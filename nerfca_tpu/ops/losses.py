@@ -68,7 +68,20 @@ def ray_entropy_loss(
     if use_weighting and weighted_pixs is not None:
         mask = jnp.logical_or(mask, weighted_pixs > 1.0 + weighted_thresh)
 
-    ray_p = sigma_dist / jnp.clip(sigma_sum, clip_threshold, None)
+    # Backward-NaN guard (double-where): on rays whose density is EXACTLY
+    # zero everywhere (the motion hull gates dynamic sigma to 0.0 — the
+    # reference never lands here, its softplus sigma is strictly positive)
+    # the divide VJP computes -x/y^2 with y = clip_threshold; the reference
+    # default 1e-19 squares below f32's minimum normal, so the term becomes
+    # 0/0 = NaN and one hull-gated step NaNs the temporal params. Route the
+    # denominator cotangent of near-empty rays through stop_gradient:
+    # forward values are bit-identical, the numerator gradient g/clip is
+    # kept exactly as the reference computes it, and the dropped term is
+    # the reference's own 1/sum garbage (|grad| >= 1e15 when it fires).
+    clipped = jnp.clip(sigma_sum, clip_threshold, None)
+    risky = sigma_sum < jnp.asarray(1e-15, sigma_sum.dtype)
+    denom = jnp.where(risky, jax.lax.stop_gradient(clipped), clipped)
+    ray_p = sigma_dist / denom
     entropy = mask * -jnp.sum(ray_p * jnp.log(ray_p + 1e-10), axis=-1)
     return jnp.mean(entropy), jnp.mean(sigma_sum)
 

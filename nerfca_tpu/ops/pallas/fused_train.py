@@ -190,8 +190,17 @@ def _tile_loss(raw_s, raw_t, gt, wts, i0, dists, occl_mask, valid, first,
     rev = jnp.clip(1 - b, 1e-19, None)
     brev = jnp.concatenate([b, rev], axis=0)  # [2, T]
 
-    # per-ray density-distribution entropies (both fields at once)
-    p = sd / jnp.clip(ssum, clip_thr, None)  # [2, T]
+    # per-ray density-distribution entropies (both fields at once).
+    # Double-where backward-NaN guard, mirroring ops/losses.py::
+    # ray_entropy_loss: hull-gated rays can be EXACTLY zero-density, and
+    # the divide VJP's -x/y^2 term with y = clip_thr (reference default
+    # 1e-19) underflows f32 to 0/0 = NaN. stop_gradient the denominator
+    # cotangent on near-empty rays; forward is bit-identical.
+    ssum_clipped = jnp.clip(ssum, clip_thr, None)
+    ssum_risky = ssum < 1e-15
+    p = sd / jnp.where(
+        ssum_risky, jax.lax.stop_gradient(ssum_clipped), ssum_clipped
+    )  # [2, T]
 
     logs = jnp.log(jnp.concatenate([brev, p + 1e-10], axis=0))  # [4, T]
 

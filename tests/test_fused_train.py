@@ -370,6 +370,57 @@ def test_fused_train_bf16_residuals_close():
             assert err < 2e-2, (jax.tree_util.keystr(path), err, scale)
 
 
+def test_fused_train_hull_zero_rays_grad_finite_and_matches():
+    """Backward-NaN regression, fused-kernel side (mirrors
+    tests/test_losses.py::test_ray_entropy_zero_ray_grad_finite): an
+    all-zero motion hull gates every ray's dynamic density to EXACT zero;
+    at the reference's 1e-19 entropy clip floor the in-kernel vjp used to
+    produce NaN through the divide VJP's -x/y^2 underflow. Both paths must
+    stay finite and keep agreeing with each other."""
+    from nerfca_tpu.ops.hull import MotionHull
+
+    params, cfgs, hp, batch, z = _setup()
+    assert hp.entro_clip_threshold == 1e-19  # the reference default
+    hull = MotionHull(
+        grid=jnp.zeros((8, 8, 8), jnp.float32),
+        d_voxel=jnp.full((3,), 2.0, jnp.float32),
+        off=jnp.zeros((3,), jnp.float32),
+    )
+    step = jnp.asarray(57)
+
+    def ref_loss(p):
+        return composite_loss_fn(p, batch, z, step, cfgs, hp, hull=hull)
+
+    (ref_l, ref_m), ref_g = jax.value_and_grad(ref_loss, has_aux=True)(params)
+    assert np.isfinite(float(ref_l))
+    for k, v in ref_m.items():
+        assert np.isfinite(float(v)), k
+    for p, leaf in jax.tree_util.tree_flatten_with_path(ref_g)[0]:
+        assert np.isfinite(np.asarray(leaf)).all(), jax.tree_util.keystr(p)
+
+    w = loss_weights(step, hp)
+    lw = jnp.stack([w["favor_s"], w["dynamic_entro"], w["occl"], w["l1"],
+                    jnp.float32(0.0)])
+    window = free_window_mask(4, 57, 100, 1)
+    loss, terms, g_s, g_t = fused_train_loss_and_grads(
+        params["static"], params["temp"],
+        batch["origins"], batch["directions"], z, batch["phases"],
+        batch["pixels"], batch["weights"], batch["initial_intensities"],
+        cfgs["static"], cfgs["temp"], window, window, lw, hp, hull=hull,
+    )
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    fused_g = {"static": g_s, "temp": g_t}
+    for p, leaf in jax.tree_util.tree_flatten_with_path(fused_g)[0]:
+        assert np.isfinite(np.asarray(leaf)).all(), jax.tree_util.keystr(p)
+    # gated-to-zero dynamic field: its entropy term must be exactly zero
+    np.testing.assert_allclose(float(terms["d_entropy"]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(
+        float(terms["d_entropy"]), float(ref_m["train_d_entropy_loss"]),
+        atol=1e-12,
+    )
+
+
 def test_fine_pass_falls_back_to_xla():
     """depth_samples_fine > 0 is OUTSIDE the fused kernel's envelope by
     permanent scope decision (the reference ships the fine hierarchy

@@ -80,6 +80,45 @@ def test_hull_gate_outside_is_zero():
     np.testing.assert_allclose(np.asarray(out)[:2], 0.0)
 
 
+def test_hull_gate_exact_far_face_is_finite():
+    """MAGIX-SURR collapse regression (scripts/magix_gate_probe3.py): a
+    sample landing EXACTLY on the far grid face (gx == res-1, f32) used to
+    base the trilinear cell at res-1, gather the +1 corner out of range,
+    and jnp.take's default NaN-fill leaked through `NaN * fx(=0)` — one
+    such sample per step-60 batch NaN'd the whole MAGIX run. The base cell
+    must clamp to res-2 and the boundary value must equal the face value."""
+    hull = _random_hull(jax.random.PRNGKey(7), res=96)
+    res = hull.grid.shape[0]
+    # world coordinate that maps to grid coord exactly res-1 on each axis
+    def world(axis, g):
+        d = float(hull.d_voxel[axis])
+        off = float(hull.off[axis])
+        return jnp.float32((g - (res - 1) / 2) * d + off)
+
+    x = world(0, res - 1)
+    y = world(1, 40.5)
+    z = world(2, 12.25)
+    got = np.asarray(hull_gate(hull, x[None], y[None], z[None]))
+    assert np.isfinite(got).all()
+    from scipy.ndimage import map_coordinates
+
+    want = map_coordinates(
+        np.asarray(hull.grid), [[res - 1], [40.5], [12.25]], order=1
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # the all-axes far corner, and one just past it (out of bounds -> 0)
+    corner = np.asarray(
+        hull_gate(hull, world(0, res - 1)[None], world(1, res - 1)[None],
+                  world(2, res - 1)[None])
+    )
+    np.testing.assert_allclose(corner, np.asarray(hull.grid)[-1, -1, -1],
+                               atol=1e-5)
+    past = np.asarray(
+        hull_gate(hull, world(0, res - 1 + 1e-2)[None], y[None], z[None])
+    )
+    np.testing.assert_allclose(past, 0.0)
+
+
 def test_hull_gate_rays_matches_pointwise():
     hull = _random_hull(jax.random.PRNGKey(3))
     rng = np.random.default_rng(4)

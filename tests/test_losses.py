@@ -70,6 +70,45 @@ def test_ray_entropy_weighted_or_mask():
     np.testing.assert_allclose(float(e_on), np.log(4) / 2, atol=1e-3)
 
 
+def test_ray_entropy_zero_ray_grad_finite():
+    """Backward-NaN regression (MAGIX/hull failure family): a ray whose
+    density is EXACTLY zero everywhere (the motion hull gates dynamic sigma
+    to 0.0) used to NaN the entropy gradient at the reference's 1e-19 clip
+    floor — the divide VJP computes -x/y^2 and (1e-19)^2 underflows f32, so
+    the term became 0/0. The fix routes the denominator cotangent of
+    near-empty rays through stop_gradient; the numerator path (g/clip, the
+    reference's own magnitude) must survive on variance-masked rays."""
+    import jax
+
+    dists = jnp.full((8,), 0.01)
+    wp = jnp.array([1.5, 1.0])  # ray 0 variance-masked active, ray 1 not
+
+    def f(sig):
+        e, _ = ray_entropy_loss(
+            sig, dists, mask_threshold=0.1, clip_threshold=1e-19,
+            use_weighting=True, weighted_pixs=wp, weighted_thresh=0.25,
+        )
+        return e
+
+    sig = jnp.zeros((2, 8), jnp.float32)
+    val, grad = jax.value_and_grad(f)(sig)
+    assert np.isfinite(float(val))
+    g = np.asarray(grad)
+    assert np.isfinite(g).all()
+    # the active empty ray keeps the reference's numerator gradient g/clip
+    assert abs(g[0, 0]) > 1e15
+    # the masked-out empty ray contributes nothing
+    np.testing.assert_allclose(g[1], 0.0)
+    # forward values are untouched by the guard on healthy rays
+    sig_h = jnp.array([[1.0, 2.0, 0.5, 1.0, 0.2, 0.1, 3.0, 1.0]])
+    e_new, _ = ray_entropy_loss(sig_h, dists, mask_threshold=0.0,
+                                clip_threshold=1e-19)
+    sd = np.asarray(sig_h) * 0.01
+    p = sd / sd.sum()
+    want = -(p * np.log(p + 1e-10)).sum()
+    np.testing.assert_allclose(float(e_new), want, rtol=1e-6)
+
+
 def test_occlusion_full_ray_quirk():
     """use_back=False (shipped default): mask covers the whole ray
     (model_helpers.py:237-242)."""
