@@ -71,10 +71,13 @@ def build(n: int, resume=None):
         "--config", "configs/composite.txt",
         *data_argv(),
         "--n_iters", str(n),
-        "--display_every", "250",
-        "--save_every", "500",
-        "--log_every", "250",
-        "--steps_per_chunk", "250",
+        # cadence scales with n so a paper-schedule (200k) run keeps ~20
+        # checkpoints instead of 400; identical to the old constants at
+        # the 6k campaign length
+        "--display_every", str(max(250, n // 40)),
+        "--save_every", str(max(500, n // 20)),
+        "--log_every", str(max(250, n // 200)),
+        "--steps_per_chunk", "500" if n >= 10000 else "250",
         "--keep_last_n_checkpoints", "50",
         "--best_metric", "separated_psnr",
         "--lr_decay_steps", str(int(n * 0.75)),
@@ -200,11 +203,14 @@ def main():
             "log_dir": log_dir,
             "train_wall_s": round(wall, 1),
         }
+        out_n = OUT.replace(".json", f"-{n}.json")
         os.makedirs(os.path.dirname(OUT), exist_ok=True)
-        with open(OUT, "w") as f:
+        with open(out_n, "w") as f:
             json.dump(row, f, indent=2)
+        # a diverged run is recorded under its own n-tagged file and never
+        # clobbers the canonical headline (which may hold a finite result)
         print(f"DIVERGED at step {out['diverged_at']} "
-              f"({out.get('diverged_terms')}) -> {OUT}")
+              f"({out.get('diverged_terms')}) -> {out_n}")
         sys.exit(3)
 
     ckpts = sorted(
@@ -229,8 +235,9 @@ def main():
         "per_checkpoint_40view": [e for e in evals if e],
     }
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with open(OUT, "w") as f:
-        json.dump(row, f, indent=2)
+    for path in (OUT.replace(".json", f"-{n}.json"), OUT):
+        with open(path, "w") as f:
+            json.dump(row, f, indent=2)
     print(json.dumps({k: row[k] for k in
                       ("log_dir", "train_wall_s", "headline_checkpoint_best")}),
           flush=True)

@@ -33,14 +33,17 @@ def test_arm_ok_criterion():
     assert not rep.arm_ok({"synth_lca_val": "0.8", "stability": {}})  # no eval
 
 
-def test_pick_target_highest_failing_contrast():
+def test_pick_target_lowest_failing_contrast():
+    """Round-4 targeted the HIGHEST failing contrast by mistake (VERDICT r4
+    weak #2); the repair campaign must attack the decisive XCAT-like
+    lowest-contrast point instead."""
     rows = [
         _row("2.4", 0.98, 3.1),
         _row("1.2", 0.95, 2.0),
         _row("0.8", 0.55, 2.0),
         _row("0.35", 0.2, 9.0),
     ]
-    assert rep.pick_target(rows) == "0.8"
+    assert rep.pick_target(rows) == "0.35"
 
 
 def test_pick_target_all_stable_exits_zero():

@@ -117,6 +117,43 @@ def test_multi_view_selection_metric_is_mean(tmp_path):
     )
 
 
+def test_ccta_surrogate_trains_finite_with_hull(tmp_path):
+    """The MAGIX leg must never silently NaN again (VERDICT r4 items 1+7):
+    HU surrogate -> CCTA-preset dataset (``data_name`` MAGIX* picks
+    ``ccta_geometry``) -> hull-gated composite train on CPU at the
+    reference's 1e-19 entropy clip floor. This is the exact configuration
+    that NaN'd the round-4 MAGIX-SURR run (hull far-face gather + empty-ray
+    entropy VJP, both fixed in ops/hull.py / ops/losses.py); a regression
+    diverges within the first chunk and fails the assertions below."""
+    from nerfca_tpu.data.ccta_surrogate import write_surrogate_case
+
+    vols = tmp_path / "vols"
+    write_surrogate_case(
+        str(vols), phases=3, shape=(48, 48, 32), spacing=(3.6, 3.6, 6.0),
+        verbose=False,
+    )
+    args = parse_args(tiny_argv(tmp_path, extra=(
+        "--data_name", "MAGIX-TEST",
+        "--x_ray_type", "rotation",
+        "--volume_root", str(vols),
+        "--data_size", "50",
+        "--data_time_range_end", "3",
+        "--use_motion_hull", "true",
+        "--n_iters", "120",
+        "--save_every", "120",
+    )))
+    assert args.entro_clip_threshold == 1e-19  # the NaN-prone reference floor
+    out = train_composite(args)
+    assert out.get("diverged_at") is None, out
+    records = [json.loads(l) for l in
+               open(os.path.join(out["log_dir"], "metrics.jsonl"))]
+    train_recs = [r for r in records if "train_loss" in r]
+    assert train_recs, "no train metrics logged"
+    for r in train_recs:
+        assert np.isfinite(r["train_loss"]), r
+        assert np.isfinite(r["train_pixel_loss_coarse"]), r
+
+
 def test_static_driver(tmp_path):
     args = parse_args([
         "--config", "configs/3d.txt",
