@@ -69,17 +69,32 @@ def measure(tile: int, steps_per_chunk: int = 20, timed_chunks: int = 5,
     jax.block_until_ready(state.params)
     print(f"  tile {tile}: chunk compile+run {time.time()-t0:.0f}s")
 
-    t0 = time.perf_counter()
-    for _ in range(timed_chunks):
-        state, m = chunk(state, rays, phases, var_ids, non_var_ids)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-    ms = dt / (timed_chunks * steps_per_chunk) * 1e3
+    def timed():
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(timed_chunks):
+            state, _m = chunk(state, rays, phases, var_ids, non_var_ids)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        return dt / (timed_chunks * steps_per_chunk) * 1e3
+
+    ms = timed()
+    suspect = False
+    if ms < 1.0:
+        # physically impossible at flagship shapes (the kernel's VPU floor
+        # is ~4 ms) — the remote tunnel occasionally returns without the
+        # timed dispatch (the bogus 0.019 ms vmem-115 row of campaign 4t).
+        # Re-measure once; if still sub-ms, flag the row as unusable.
+        print(f"  tile {tile}: {ms:.3f} ms/step is sub-physical; re-measuring")
+        ms = timed()
+        suspect = ms < 1.0
     rps = hp.img_sample_size / (ms / 1e3)
-    print(json.dumps({"tile": tile, "vmem_mb": vmem_mb, "dtype": dtype,
-                      "bf16_res": bf16_res,
-                      "ms_per_step": round(ms, 3),
-                      "rays_per_sec": round(rps)}))
+    row = {"tile": tile, "vmem_mb": vmem_mb, "dtype": dtype,
+           "bf16_res": bf16_res, "ms_per_step": round(ms, 3),
+           "rays_per_sec": round(rps)}
+    if suspect:
+        row["suspect"] = True
+    print(json.dumps(row))
     return ms
 
 
