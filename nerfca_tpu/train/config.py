@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lr_end_factor", type=float, default=0.1)
     p.add_argument("--lr_decay_steps", type=int, default=100000)
+    p.add_argument("--weight_decay", type=float, default=0.0,
+                   help="decoupled AdamW decay on MLP weight matrices "
+                        "only (framework extension, default off = "
+                        "exact reference Adam); counters 4-view "
+                        "memorization once the encoding window opens")
 
     p.add_argument("--sample_mode", type=str, default="pixel")
     p.add_argument("--sample_weights_name", type=str, default=None)

@@ -872,10 +872,33 @@ def make_static_train_step(
     return train_step
 
 
-def make_optimizer(lr: float, lr_end_factor: float, lr_decay_steps: int):
+def make_optimizer(lr: float, lr_end_factor: float, lr_decay_steps: int,
+                   weight_decay: float = 0.0):
     """Adam with linear LR decay — PyTorch Adam defaults + LinearLR
-    semantics (``run_composite.py:205-212``)."""
+    semantics (``run_composite.py:205-212``).
+
+    ``weight_decay``: optional decoupled (AdamW-style) decay on the MLP
+    weight matrices only (``w`` leaves — biases and time latents are
+    exempt). Framework extension, default 0.0 = exact
+    reference optimizer. Motivation: at 4 training views the static CPPN
+    memorizes the train views as axis-aligned stripe patterns on held-out
+    views once its encoding window opens (XCAT-SURR step-6000 panels,
+    round 5); decay on the weight matrices is the standard counter."""
     schedule = optax.linear_schedule(
         init_value=lr, end_value=lr * lr_end_factor, transition_steps=lr_decay_steps
     )
-    return optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+    if not weight_decay:
+        return optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+
+    def mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: any(
+                getattr(k, "key", None) == "w" for k in path
+            ),
+            params,
+        )
+
+    return optax.adamw(
+        learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=weight_decay, mask=mask,
+    )

@@ -312,7 +312,8 @@ def prepare_composite(args, mesh=None):
 
     cfgs = field_configs_from_args(args)
     hp = resolve_pallas_support(hp, cfgs)
-    tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
+    tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps,
+                        weight_decay=getattr(args, 'weight_decay', 0.0))
     state = _init_composite_state(args, cfgs, tx)
 
     if args.resume_from:
@@ -746,7 +747,8 @@ def train_static(args=None, argv=None, max_steps: Optional[int] = None):
 
     cfg = field_configs_from_args(args)["static"]
     hp = resolve_pallas_support(hp, cfg)
-    tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
+    tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps,
+                        weight_decay=getattr(args, 'weight_decay', 0.0))
     key = jax.random.PRNGKey(args.seed)
     params = {"static": init_static_field(key, cfg)}
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), key)

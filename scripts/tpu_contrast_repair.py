@@ -98,6 +98,17 @@ REPAIRS = {
         "weighted_loss_max": "3",
         "_window_frac": "1.0",
     },
+    # AdamW weight decay on the MLP weight matrices (--weight_decay,
+    # round-5 extension): the XCAT-SURR step-6000 panels show the static
+    # field memorizing the 4 train views as axis-aligned stripe patterns
+    # once its window opens — the textbook overfit weight decay counters.
+    "wd3": {"weight_decay": "1e-3"},
+    "wd2": {"weight_decay": "1e-2"},
+    "wd_varmax_longwin": {
+        "weight_decay": "1e-3",
+        "weighted_loss_max": "3",
+        "_window_frac": "1.0",
+    },
 }
 
 

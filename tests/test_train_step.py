@@ -207,6 +207,31 @@ def test_training_reduces_loss():
     assert int(state.step) == 60
 
 
+def test_weight_decay_masks_w_leaves_only():
+    """--weight_decay (framework extension): decoupled AdamW decay applies
+    to the MLP weight matrices only; biases and time latents are exempt;
+    0.0 reproduces the exact reference Adam update."""
+    cfgs = tiny_cfgs()
+    params = make_state(cfgs, make_optimizer(1e-3, 1.0, 100)).params
+    grads = jax.tree.map(jnp.zeros_like, params)
+
+    tx_wd = make_optimizer(1e-2, 1.0, 100, weight_decay=0.1)
+    upd, _ = tx_wd.update(grads, tx_wd.init(params), params)
+    flat = jax.tree_util.tree_flatten_with_path(upd)[0]
+    for path, leaf in flat:
+        keys = [getattr(k, "key", None) for k in path]
+        if "w" in keys:
+            # zero grad + decay -> a strictly shrinking update
+            assert float(jnp.abs(leaf).max()) > 0, path
+        else:
+            np.testing.assert_allclose(np.asarray(leaf), 0.0, err_msg=str(path))
+
+    tx0 = make_optimizer(1e-2, 1.0, 100)  # default: exact reference Adam
+    upd0, _ = tx0.update(grads, tx0.init(params), params)
+    for leaf in jax.tree.leaves(upd0):
+        np.testing.assert_allclose(np.asarray(leaf), 0.0)
+
+
 def test_fine_hierarchy_path():
     cfgs = tiny_cfgs(fine=True)
     hp = tiny_hp(depth_samples_fine=8)
