@@ -56,33 +56,45 @@ def save_checkpoint(
         json.dump(meta, f, indent=2, default=str)
 
 
-def load_checkpoint(directory: str, example_state: TrainState) -> TrainState:
+def load_checkpoint(
+    directory: str, example_state: TrainState, *, params_only: bool = False
+) -> TrainState:
     """Restore a state saved by :func:`save_checkpoint`.
 
     ``example_state`` provides the pytree structure/shapes (build it with
     the same configs, then restore over it).
+
+    ``params_only``: skip the optimizer state (kept from ``example_state``)
+    — for eval/render/forensics, which never step the optimizer. This
+    makes read-only consumers independent of the optimizer CONFIG the run
+    trained with: e.g. a ``--weight_decay`` run stores an AdamW chain
+    whose pytree structure a plain-Adam example cannot receive (a full
+    restore raises orbax's structure-mismatch ValueError). A true resume
+    must keep the default full restore and build the matching optimizer.
     """
     directory = os.path.abspath(directory)
     with ocp.PyTreeCheckpointer() as ckptr:
         target = {
             "params": example_state.params,
-            "opt_state": example_state.opt_state,
             "step": example_state.step,
             "rng": jax.random.key_data(example_state.rng),
         }
+        if not params_only:
+            target["opt_state"] = example_state.opt_state
         # explicit restore args (sharding from the example arrays) so a
         # checkpoint saved on one backend (TPU) restores on another (CPU)
         restore_args = ocp.checkpoint_utils.construct_restore_args(target)
         restored = ckptr.restore(
             os.path.join(directory, "state"),
             args=ocp.args.PyTreeRestore(
-                item=target, restore_args=restore_args
+                item=target, restore_args=restore_args,
+                partial_restore=params_only,
             ),
         )
     rng = jax.random.wrap_key_data(np.asarray(restored["rng"]))
     return TrainState(
         params=restored["params"],
-        opt_state=restored["opt_state"],
+        opt_state=restored.get("opt_state", example_state.opt_state),
         step=restored["step"],
         rng=rng,
     )

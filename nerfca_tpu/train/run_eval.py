@@ -64,7 +64,7 @@ def evaluate_checkpoint(args, write_images: bool = True) -> dict:
 
     tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
     example = _init_composite_state(args, cfgs, tx)
-    state = load_checkpoint(args.resume_from, example)
+    state = load_checkpoint(args.resume_from, example, params_only=True)
     step = int(state.step)
 
     w, h = (int(v) for v in info["nDetector"])

@@ -61,7 +61,9 @@ def render_views(args, views: list[tuple[float, float, int]]) -> list[dict]:
     hp = composite_hparams_from_args(args)
     hp = resolve_pallas_support(hp, cfgs)
     tx = make_optimizer(args.lr, args.lr_end_factor, args.lr_decay_steps)
-    state = load_checkpoint(args.resume_from, _init_composite_state(args, cfgs, tx))
+    state = load_checkpoint(
+        args.resume_from, _init_composite_state(args, cfgs, tx), params_only=True
+    )
     step = int(state.step)
 
     w, h = (int(v) for v in info["nDetector"])

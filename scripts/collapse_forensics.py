@@ -72,7 +72,9 @@ def main():
 
     def render(ckpt_dir, frame):
         cfgs = load_field_configs(ckpt_dir)
-        state = load_checkpoint(ckpt_dir, _init_composite_state(args, cfgs, tx))
+        state = load_checkpoint(
+            ckpt_dir, _init_composite_state(args, cfgs, tx), params_only=True
+        )
         o, d = detector_rays(frame["theta"], frame["phi"], frame["larm"], info)
         o = jnp.asarray(np.asarray(o).reshape(-1, 3))
         d = jnp.asarray(np.asarray(d).reshape(-1, 3))

@@ -47,6 +47,32 @@ def test_roundtrip_preserves_state(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_params_only_restore_across_optimizer_configs(tmp_path):
+    """A --weight_decay run stores an AdamW opt_state whose pytree a
+    plain-Adam example cannot receive; eval/render restore params_only and
+    must work regardless of the optimizer the run trained with."""
+    import pytest
+
+    cfgs = tiny_cfgs()
+    tx_wd = make_optimizer(1e-3, 0.1, 100, weight_decay=1e-3)
+    state = make_state(cfgs, tx_wd)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state, cfgs)
+
+    tx_plain = make_optimizer(1e-3, 0.1, 100)
+    fresh = make_state(cfgs, tx_plain, seed=99)
+    # full restore across optimizer configs must fail loudly (a resume
+    # must build the optimizer the run trained with) ...
+    with pytest.raises(Exception):
+        load_checkpoint(ckpt_dir, fresh)
+    # ... while the read-only path restores params/step/rng fine
+    restored = load_checkpoint(ckpt_dir, fresh, params_only=True)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
+
+
 def test_resume_continues_identically(tmp_path):
     """train 3 -> save -> train 3 more must equal train 6 straight."""
     cfgs = tiny_cfgs()
