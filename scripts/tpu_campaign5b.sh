@@ -29,6 +29,12 @@ note "=== campaign 5b start ==="
 
 run_job longsched018 10800 python scripts/tpu_longsched.py 200000 --lca 0.18
 
+# weight-decay arms: repair_forensics-0p18 diagnoses every conventional
+# arm's collapse as 4-view memorization (train fit keeps improving while
+# the 40-view image dies); decoupled AdamW decay is the direct counter
+run_job repair_wd 14400 python scripts/tpu_contrast_repair.py 6000 \
+  --lca 0.18 --arms wd3,wd2,wd_varmax_longwin
+
 magix_ok() {
   python - <<'PY'
 import json, sys
