@@ -32,6 +32,9 @@ from nerfca_tpu.train.config import parse_args
 from nerfca_tpu.train.trainer import train_composite
 from nerfca_tpu.train import run_eval
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ledgers import write_json_mirrored  # noqa: E402
+
 VOLS = "data/MAGIX-SURR-vols"
 OUT = "cases/MAGIX-SURR/surrogate_run.json"
 
@@ -163,9 +166,7 @@ def main():
             "train_wall_s": round(wall, 1),
         }
         out_n = OUT.replace(".json", f"-{n}.json")
-        os.makedirs(os.path.dirname(OUT), exist_ok=True)
-        with open(out_n, "w") as f:
-            json.dump(row, f, indent=2)
+        write_json_mirrored(row, out_n, f"magix_surrogate_run-{n}.json")
         # a diverged run is recorded under its own n-tagged file and never
         # clobbers the canonical headline (which may hold a finite result)
         print(f"DIVERGED at step {out['diverged_at']} "
@@ -190,10 +191,9 @@ def main():
         "headline_checkpoint_best": best,
         "per_checkpoint_40view": [e for e in evals if e],
     }
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    for path in (OUT.replace(".json", f"-{n}.json"), OUT):
-        with open(path, "w") as f:
-            json.dump(row, f, indent=2)
+    write_json_mirrored(row, OUT.replace(".json", f"-{n}.json"),
+                        f"magix_surrogate_run-{n}.json")
+    write_json_mirrored(row, OUT, "magix_surrogate_run.json")
     print(json.dumps({k: row[k] for k in
                       ("log_dir", "train_wall_s", "headline_checkpoint_best")}),
           flush=True)

@@ -154,9 +154,8 @@ def main():
         "per_checkpoint_40view": [e for e in evals if e],
         "time_to_quality": time_to,
     }
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with open(OUT, "w") as f:
-        json.dump(row, f, indent=2)
+    from ledgers import write_json_mirrored
+    write_json_mirrored(row, OUT)
     print(json.dumps({k: row[k] for k in
                       ("log_dir", "train_wall_s", "headline_checkpoint_best")}),
           flush=True)

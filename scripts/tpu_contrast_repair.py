@@ -229,8 +229,8 @@ def main():
         results.append(row)
         print(json.dumps({k: row[k] for k in ("repair", "stability")}),
               flush=True)
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=2)
+        from ledgers import write_json_mirrored
+        write_json_mirrored(results, out_path)
 
     print("\n=== repair-vs-stability @ lca", lca, "===")
     if base_row:

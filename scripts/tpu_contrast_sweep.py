@@ -215,8 +215,8 @@ def main():
         results.append(row)
         print(json.dumps({k: row[k] for k in
                           ("synth_lca_val", "stability")}), flush=True)
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=2)
+        from ledgers import write_json_mirrored
+        write_json_mirrored(results, out_path)
 
     print("\n=== contrast-vs-(quality, stability) ===")
     for r in sorted(results, key=lambda r: -float(r["synth_lca_val"])):
