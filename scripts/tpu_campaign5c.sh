@@ -88,35 +88,45 @@ for round in 1 2 3; do
   fi
 done
 
+# The 200k run occupies the chip ~2.5h (40.6 ms/step at the 4096-ray
+# hull+jitter recipe + ~20 ckpt evals); order the rest by evidence value
+# for the ~1.5h that will remain. xcat is sentinel-gated WITHOUT blocking
+# (checked between jobs; the CPU prep builder writes the sentinel).
+
+try_xcat() {
+  if [ -f /tmp/xcat5c.done ]; then return 0; fi
+  if [ -f data/XCAT-SURR/.prep_done ]; then
+    run_job xcat5c 10800 python scripts/tpu_xcat_surrogate.py 6000 \
+      && touch /tmp/xcat5c.done
+  else
+    note "xcat dataset not ready; skipping for now"
+  fi
+}
+
 run_job magix5c 9000 python scripts/tpu_ccta_surrogate.py 6000
 
 run_job cleansel 9000 python scripts/tpu_clean_protocol.py \
   --selection "0,0;75,0;0,-35"
 
+try_xcat
+
+run_job isolation5c 3600 python scripts/tpu_kernel_isolation.py
+run_job vmem64_5c 1800 python scripts/tpu_kernel_sweep.py --fused --vmem 64 4096
+
+run_job bench5c 3600 python bench.py
+
+try_xcat
+
 run_job repair_wd 14400 python scripts/tpu_contrast_repair.py 6000 \
   --lca 0.18 --arms wd3,wd2,wd_varmax_longwin
+
+run_job vmem115_5c 1800 python scripts/tpu_kernel_sweep.py --fused --vmem 115 4096
+
+try_xcat
 
 run_job sweep5c 21600 python scripts/tpu_contrast_sweep.py 6000 \
   --arms 2.4,1.6,1.2,0.8,0.5,0.35
 
-# XCAT comes after the sweep: its 512x512x401 x10-phase dataset rebuild is
-# the CPU long pole; wait for the prep builder's sentinel (up to 2h) so an
-# inline stage1 never races the background one on the same phase files
-XW=0
-while [ ! -f data/XCAT-SURR/.prep_done ] && [ "$XW" -lt 120 ]; do
-  sleep 60; XW=$((XW + 1))
-done
-note "xcat dataset wait: $XW min (sentinel $([ -f data/XCAT-SURR/.prep_done ] && echo present || echo ABSENT))"
-run_job xcat5c 10800 python scripts/tpu_xcat_surrogate.py 6000
-
-run_job isolation5c 3600 python scripts/tpu_kernel_isolation.py
-run_job vmem64_5c 1800 python scripts/tpu_kernel_sweep.py --fused --vmem 64 4096
-run_job vmem115_5c 1800 python scripts/tpu_kernel_sweep.py --fused --vmem 115 4096
-
-run_job bench5c 3600 python bench.py
-
-# time-permitting tails
-run_job xcatlong 10800 python scripts/tpu_xcat_surrogate.py 200000
 run_job longsched24 10800 python scripts/tpu_longsched.py 200000 --lca 2.4
 
 note "=== CAMPAIGN 5C DONE ==="
