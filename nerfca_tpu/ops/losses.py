@@ -122,6 +122,27 @@ def weighted_mse(preds, gts, weights):
     return (preds - gts) ** 2 * weights
 
 
+def along_ray_tv(sigma):
+    """Along-ray total variation: mean over rays of sum_i |σ_{i+1} − σ_i|.
+
+    Framework extension (no reference counterpart): the classic
+    sparse-view-CT prior (TV-minimization, Sidky & Pan 2008) adapted to
+    a ray-sampled neural field. The round-5 collapse forensics at 1.0×
+    local vessel contrast (`artifacts/round5/repair_forensics-0p18.json`)
+    diagnose every conventional repair arm's failure as 4-view
+    memorization — the static field grows high-frequency along-ray
+    speckle that explains the 4 training views and destroys the other
+    36. Adjacent depth samples are spatially adjacent points, so the
+    first difference along the sample axis is a (stratified) directional
+    derivative; penalizing its L1 norm is the standard piecewise-smooth
+    anatomy prior. Computed from the already-evaluated per-ray sigma —
+    no extra field evaluations. Depth spacing is uniform per-batch
+    (``linspace_depths`` + shared jitter), so the |Δσ| form differs from
+    |Δσ/Δs| only by a constant the weight schedule absorbs.
+    """
+    return jnp.mean(jnp.sum(jnp.abs(sigma[..., 1:] - sigma[..., :-1]), axis=-1))
+
+
 class CompositeLosses(NamedTuple):
     """Everything ``compute_losses`` returns (``model_helpers.py:250-262``)."""
 

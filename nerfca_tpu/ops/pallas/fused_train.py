@@ -78,6 +78,10 @@ def fused_train_supported(cfg_s: FieldConfig, cfg_t: FieldConfig,
         hp.use_pallas
         and getattr(hp, "use_fused_loss", False)
         and hp.depth_samples_fine == 0
+        # along-ray static TV (a round-5 anti-memorization arm) lives on
+        # the XLA path only; same fallback contract as the fine pass
+        and getattr(hp, "static_tv_weight_start", 0.0) == 0.0
+        and getattr(hp, "static_tv_weight_end", 0.0) == 0.0
         and ff.pallas_supported(cfg_s)
         and ff.pallas_supported(cfg_t)
         and hp.output_activation in ("softplus", "sigmoid", "clamp")

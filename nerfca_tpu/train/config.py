@@ -172,6 +172,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "motion hull so low-contrast vessel mass lands in "
                         "the dynamic field; requires --use_motion_hull)")
     p.add_argument("--hull_static_l1_weight_end", type=float, default=0.0)
+    p.add_argument("--static_tv_weight_start", type=float, default=0.0,
+                   help="along-ray total-variation schedule start on the "
+                        "static field (framework extension; the sparse-"
+                        "view-CT smoothness prior against 4-view "
+                        "memorization speckle). Non-zero weights run on "
+                        "the XLA path (fused kernel falls back).")
+    p.add_argument("--static_tv_weight_end", type=float, default=0.0)
     p.add_argument("--hyperparam_decay_steps", type=int, default=100000)
 
     p.add_argument("--entro_mask_thre", type=float, default=1e-4)

@@ -42,7 +42,9 @@ from nerfca_tpu.models.fields import (
     apply_temporal_field,
 )
 from nerfca_tpu.ops.encoding import free_window_alpha, free_window_mask, nerfies_alpha, nerfies_window
-from nerfca_tpu.ops.losses import composite_losses, occlusion_loss, weighted_mse
+from nerfca_tpu.ops.losses import (
+    along_ray_tv, composite_losses, occlusion_loss, weighted_mse,
+)
 from nerfca_tpu.ops.render import (
     render_transmission,
     render_transmission_composite,
@@ -86,6 +88,13 @@ class CompositeHParams:
     # No-op when no hull is in use.
     hull_static_l1_weight_start: float = 0.0
     hull_static_l1_weight_end: float = 0.0
+    # along-ray TV on the static field (framework extension, defaults
+    # off): the sparse-view-CT piecewise-smoothness prior, targeting the
+    # 4-view memorization speckle the 0.18-contrast forensics diagnose
+    # (ops/losses.py::along_ray_tv). XLA path only — a non-zero weight
+    # falls back from the fused kernel like the fine pass does.
+    static_tv_weight_start: float = 0.0
+    static_tv_weight_end: float = 0.0
     hyperparam_decay_steps: int = 100000
     # freeze the static field's parameters from this step on (0 = never).
     # Collapse forensics (scripts/collapse_forensics.py): at 4 views the
@@ -421,6 +430,8 @@ def schedule_from_hp(hp: CompositeHParams) -> dict:
         "l1_end": jnp.float32(hp.l1_weight_end),
         "hl1_start": jnp.float32(hp.hull_static_l1_weight_start),
         "hl1_end": jnp.float32(hp.hull_static_l1_weight_end),
+        "stv_start": jnp.float32(hp.static_tv_weight_start),
+        "stv_end": jnp.float32(hp.static_tv_weight_end),
         "decay_steps": jnp.float32(hp.hyperparam_decay_steps),
         "static_freeze": jnp.float32(hp.static_freeze_step),
     }
@@ -441,6 +452,13 @@ def weightless_hp(hp: CompositeHParams) -> CompositeHParams:
         occl_weight_start=0.0, occl_weight_end=0.0,
         l1_weight_start=0.0, l1_weight_end=0.0,
         hull_static_l1_weight_start=0.0, hull_static_l1_weight_end=0.0,
+        # static TV changes the GRAPH (its branch is a trace-time `if`,
+        # and a non-zero weight exits the fused envelope), so the cache
+        # key keeps the on/off bit and shares compiles across values only
+        static_tv_weight_start=(
+            0.0 if (hp.static_tv_weight_start == 0.0
+                    and hp.static_tv_weight_end == 0.0) else 1.0),
+        static_tv_weight_end=0.0,
         hyperparam_decay_steps=1,
         static_freeze_step=0,
         ray_jitter=0.0,  # train-time only; render graphs never read it
@@ -471,6 +489,10 @@ def loss_weights(step, hp: CompositeHParams, sched=None):
         ),
         "hull_static_l1": linear_param_decay(
             step, sched["hl1_start"], sched["hl1_end"], sched["decay_steps"]
+        ),
+        "static_tv": linear_param_decay(
+            step, sched.get("stv_start", jnp.float32(0.0)),
+            sched.get("stv_end", jnp.float32(0.0)), sched["decay_steps"]
         ),
     }
 
@@ -515,6 +537,13 @@ def composite_loss_fn(
         occl_front_only=hp.occl_front_only,
     )
     loss = _regularized_loss(pixel_loss_c, losses, weights)
+    static_tv = jnp.float32(0.0)
+    if hp.static_tv_weight_start > 0 or hp.static_tv_weight_end > 0:
+        # along-ray TV on the static field (see CompositeHParams.
+        # static_tv_*); XLA path only — fused_train_supported() rejects
+        # a non-zero weight so this branch is always live when enabled
+        static_tv = along_ray_tv(fwd["static_sigma_coarse"])
+        loss = loss + weights["static_tv"] * static_tv
     hull_s_l1 = jnp.float32(0.0)
     if hull is not None:
         # hull-gated static L1 (see CompositeHParams.hull_static_l1_*):
@@ -532,6 +561,8 @@ def composite_loss_fn(
     metrics = {
         "train_hull_s_l1": hull_s_l1,
         "hull_static_l1_weight": weights["hull_static_l1"],
+        "train_static_tv": static_tv,
+        "static_tv_weight": weights["static_tv"],
         "train_pixel_loss_coarse": pixel_loss_c,
         "train_blendw": losses.blendw_mean,
         "train_sigma_s_max": losses.sigma_s_max,

@@ -130,6 +130,8 @@ def composite_hparams_from_args(args) -> CompositeHParams:
         l1_weight_end=args.l1_weight_end,
         hull_static_l1_weight_start=args.hull_static_l1_weight_start,
         hull_static_l1_weight_end=args.hull_static_l1_weight_end,
+        static_tv_weight_start=args.static_tv_weight_start,
+        static_tv_weight_end=args.static_tv_weight_end,
         hyperparam_decay_steps=args.hyperparam_decay_steps,
         static_freeze_step=args.static_freeze_step,
         skewness_val=args.skewness_val,

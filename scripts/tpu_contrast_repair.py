@@ -109,6 +109,20 @@ REPAIRS = {
         "weighted_loss_max": "3",
         "_window_frac": "1.0",
     },
+    # along-ray static TV (--static_tv_weight_*, round-5 extension): the
+    # sparse-view-CT smoothness prior aimed directly at the along-ray
+    # memorization speckle; runs on the XLA path (fused kernel falls
+    # back), ~2x step time — quality arms only. Raw TV magnitude at the
+    # recipe shapes is O(1) per ray vs a ~4e-6 pixel loss, hence weights
+    # around 1e-7.
+    "tv7": {"static_tv_weight_start": "1e-7", "static_tv_weight_end": "1e-9"},
+    "tv6": {"static_tv_weight_start": "1e-6", "static_tv_weight_end": "1e-8"},
+    "tv_wd_longwin": {
+        "static_tv_weight_start": "1e-7",
+        "static_tv_weight_end": "1e-9",
+        "weight_decay": "1e-3",
+        "_window_frac": "1.0",
+    },
 }
 
 

@@ -253,3 +253,37 @@ def test_occlusion_front_only_intent():
     np.testing.assert_allclose(float(loss), 1.0, atol=1e-6)
     full = occlusion_loss(sigma, dists, reg_perc=0.2, front_only=False)
     assert float(loss) < float(full)
+
+
+def test_along_ray_tv_analytic():
+    """Framework extension (no reference counterpart): along-ray TV is the
+    mean over rays of the L1 norm of first differences along the sample
+    axis. A constant ray contributes 0; a single unit step contributes 1;
+    speckle (alternating 0/1 over 5 samples) contributes 4."""
+    from nerfca_tpu.ops.losses import along_ray_tv
+
+    sigma = jnp.asarray([
+        [0.7, 0.7, 0.7, 0.7, 0.7],   # smooth: TV 0
+        [0.0, 0.0, 1.0, 1.0, 1.0],   # one edge: TV 1
+        [0.0, 1.0, 0.0, 1.0, 0.0],   # speckle: TV 4
+    ])
+    np.testing.assert_allclose(float(along_ray_tv(sigma)), 5.0 / 3.0, rtol=1e-6)
+    # smoothness ordering: speckle >> edge at equal total mass
+    assert float(along_ray_tv(sigma[2:3])) > float(along_ray_tv(sigma[1:2]))
+
+
+def test_static_tv_outside_fused_envelope():
+    """A non-zero static-TV weight must fall back to the XLA path (same
+    contract as the fine pass): the fused Mosaic kernel does not compute
+    the TV term, so silently keeping it fused would drop the regularizer."""
+    import dataclasses
+
+    from nerfca_tpu.ops.pallas.fused_train import fused_train_supported
+    from tests.test_fused_train import _setup
+
+    _, cfgs, hp, _, _ = _setup()
+    hp = dataclasses.replace(hp, use_fused_loss=True)
+    assert fused_train_supported(cfgs["static"], cfgs["temp"], hp)
+    hp_tv = dataclasses.replace(hp, static_tv_weight_start=1e-7,
+                                static_tv_weight_end=1e-9)
+    assert not fused_train_supported(cfgs["static"], cfgs["temp"], hp_tv)
