@@ -117,8 +117,10 @@ run_job bench5c 3600 python bench.py
 
 try_xcat
 
+# one decay arm + the two new TV arms (smoothness prior; ~2x step time
+# on the XLA fallback path) — diversity over repetition given chip time
 run_job repair_wd 14400 python scripts/tpu_contrast_repair.py 6000 \
-  --lca 0.18 --arms wd3,wd2,wd_varmax_longwin
+  --lca 0.18 --arms wd3,tv7,tv_wd_longwin
 
 run_job vmem115_5c 1800 python scripts/tpu_kernel_sweep.py --fused --vmem 115 4096
 
