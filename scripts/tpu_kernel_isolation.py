@@ -28,6 +28,7 @@ def main():
     from nerfca_tpu.ops.pallas.fused_field import fused_composite_fields_rays
 
     params, cfgs, hp = _flagship_setup()
+    rows = []  # mirrored ledger (campaign /tmp logs do not survive wipes)
     r, s = 1024, 500
     key = jax.random.PRNGKey(0)
     o = jnp.full((r, 3), jnp.asarray([4.5, 0.0, 0.0]))
@@ -51,6 +52,7 @@ def main():
         jax.block_until_ready(out)
         ms = (time.perf_counter() - t0) / n * 1e3
         print(json.dumps({"tag": tag, "ms": round(ms, 3)}))
+        rows.append({"tag": tag, "ms": round(ms, 3)})
         return ms
 
     for dtype in ("float32", "bfloat16"):
@@ -66,6 +68,10 @@ def main():
 
         g_j = jax.jit(jax.grad(lambda ps, pt: fwd(ps, pt), argnums=(0, 1)))
         time_fn(g_j, (params["static"], params["temp"]), tag=f"fwd+bwd-{dtype}")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ledgers import write_json_mirrored
+    write_json_mirrored(rows, "artifacts/round5/kernel_isolation.json")
 
 
 if __name__ == "__main__":

@@ -122,6 +122,16 @@ def main():
         except Exception as e:  # keep sweeping other tiles
             print(f"  tile {t} FAILED: {type(e).__name__}: {e}")
     print("SUMMARY", json.dumps({str(k): round(v, 3) for k, v in results.items()}))
+    # mirror into the committed artifacts tree (campaign /tmp logs do not
+    # survive wipes); one file per sweep configuration, rows keyed by tile
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ledgers import write_json_mirrored
+    tag = f"{'fused' if fused else 'field'}-{dtype}" \
+          f"{'-bf16res' if bf16_res else ''}-vmem{vmem_mb}"
+    write_json_mirrored(
+        {"config": tag, "ms_per_step_by_tile":
+         {str(k): round(v, 3) for k, v in results.items()}},
+        f"artifacts/round5/kernel_sweep-{tag}.json")
     if not results:
         sys.exit(1)  # every tile failed — let the supervisor retry
 
