@@ -83,10 +83,13 @@ def prepare_dataset_cpu():
 def eval_ckpt(ckpt: str, write_images: bool = False) -> dict:
     eargs = build()
     eargs.resume_from = ckpt
+    # flushed progress line keeps the campaign watchdog's log-staleness
+    # clock fresh through the long silent eval phase
+    print(f"evaluating {ckpt} ...", flush=True)
     try:
         scores = run_eval.evaluate_checkpoint(eargs, write_images=write_images)
     except Exception as e:
-        print(f"eval of {ckpt} failed: {e}")
+        print(f"eval of {ckpt} failed: {e}", flush=True)
         return {}
     return {
         "ckpt": os.path.basename(ckpt),

@@ -123,10 +123,13 @@ def prepare_dataset_cpu(n: int, overrides: dict) -> None:
 def eval_ckpt(n, overrides, ckpt, write_images=False) -> dict:
     eargs = base_args(n, overrides)
     eargs.resume_from = ckpt
+    # flushed progress line: eval phases run 30-50 min with otherwise
+    # silent stdout, and the campaign watchdog stall-kills quiet jobs
+    print(f"evaluating {ckpt} ...", flush=True)
     try:
         scores = run_eval.evaluate_checkpoint(eargs, write_images=write_images)
     except Exception as e:
-        print(f"eval of {ckpt} failed: {e}")
+        print(f"eval of {ckpt} failed: {e}", flush=True)
         return {}
     return {
         "ckpt": os.path.basename(ckpt),

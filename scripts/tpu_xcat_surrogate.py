@@ -168,6 +168,7 @@ def stage2_dataset(n: int):
 def eval_ckpt(n: int, ckpt: str, write_images: bool = False) -> dict:
     eargs = build(n)
     eargs.resume_from = ckpt
+    print(f"evaluating {ckpt} ...", flush=True)
     try:
         scores = run_eval.evaluate_checkpoint(eargs, write_images=write_images)
     except Exception as e:
