@@ -105,10 +105,10 @@ try_xcat() {
 
 run_job magix5c 9000 python scripts/tpu_ccta_surrogate.py 6000
 
+try_xcat
+
 run_job cleansel 9000 python scripts/tpu_clean_protocol.py \
   --selection "0,0;75,0;0,-35"
-
-try_xcat
 
 run_job isolation5c 3600 python scripts/tpu_kernel_isolation.py
 run_job vmem64_5c 1800 python scripts/tpu_kernel_sweep.py --fused --vmem 64 4096
