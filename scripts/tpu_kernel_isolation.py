@@ -40,6 +40,15 @@ def main():
         # compile
         out = fn(*args0)
         jax.block_until_ready(out)
+        # warm the chained-dispatch path untimed: the perturbation
+        # tree_map (+1e-9) itself remote-compiles on first use, which
+        # previously happened INSIDE the first timed loop and contaminated
+        # the first row of the 5e run (fwd-f32 "72.6 ms" = ~2.2 s of
+        # one-off compile amortized over 30 calls, while its own fwd+bwd
+        # measured 4.41 ms — fwd slower than fwd+bwd is impossible
+        # on-device, so the row was compile/tunnel cost, not kernel time)
+        warm = (jax.tree.map(lambda x: x + 1e-9, args0[0]), *args0[1:])
+        jax.block_until_ready(fn(*warm))
         # chain: perturb an input each call to defeat dedup
         t0 = time.perf_counter()
         carry = args0
