@@ -236,10 +236,14 @@ def main() -> None:
         hp = dataclasses.replace(
             hp, use_pallas=True, pallas_tile=4096, pallas_vmem_mb=100,
             use_fused_loss=True,
-            # round-4 sweep best adds bf16 residual storage (4.679 ms vs
-            # 4.79); opt-in via --bf16res until the correctness gate has
-            # certified it on hardware at this exact config
-            pallas_bf16_residuals="--bf16res" in sys.argv,
+            # bf16 residual storage is the shipping default since the
+            # 2026-08-20 gated run certified it on hardware at this exact
+            # config (kernel_check ok + sharded_check ok at 222,141
+            # rays/s = 4.61 ms/step vs 4.68 f32; see
+            # artifacts/round5/bench_bf16res.jsonl). Opt out with
+            # --f32res; VMEM 64/100/115 measured equivalent (BENCH.md
+            # round-5 kernel chapter).
+            pallas_bf16_residuals="--f32res" not in sys.argv,
         )
     tx = make_optimizer(1e-3, 0.01, 150000)
     # the chunk donates its state, so the timing loop gets a COPY of the
