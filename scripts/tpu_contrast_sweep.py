@@ -91,13 +91,31 @@ def prepare_dataset_cpu(n: int, overrides: dict) -> None:
     args = base_args(n, overrides)
     paths = dataset_paths(args, root="data")
     lock = os.path.join(paths.folder, ".building")
-    if all(
-        os.path.isfile(p)
-        for p in (paths.train, paths.test, paths.evaluate, paths.general)
-    ) and not os.path.exists(lock):
+
+    def ready() -> bool:
         # the lockfile guards against a concurrent builder's partial files
         # being read as a complete dataset (ADVICE r4 #1)
+        return all(
+            os.path.isfile(p)
+            for p in (paths.train, paths.test, paths.evaluate, paths.general)
+        ) and not os.path.exists(lock)
+
+    if ready():
         print(f"dataset ready: {paths.folder}", flush=True)
+        return
+    # if a concurrent builder (scripts/prep_round5e.sh) holds the lock,
+    # WAIT for it rather than racing it: two builders interleaving writes
+    # to the same artifact files can crash the one that reads them first.
+    # A lock that outlives an hour is treated as stale (crashed/wiped
+    # builder) and we take over.
+    waited = 0
+    while os.path.exists(lock) and waited < 3600:
+        if waited % 300 == 0:
+            print(f"waiting on concurrent builder: {lock}", flush=True)
+        time.sleep(30)
+        waited += 30
+    if ready():
+        print(f"dataset ready (built concurrently): {paths.folder}", flush=True)
         return
     argv = [
         sys.executable, "-m", "nerfca_tpu.train.run_composite",
